@@ -1,0 +1,148 @@
+"""Document parse + render: the per-document extraction entry point.
+
+Ports ParseDocument (boilerpipe.go:34-74), Content/Text rendering
+(boilerpipe.go:76-106) and the parse event loop (boilerpipe.go:108-158),
+including the Go-specific HTML escape variant (&#39;/&#34;, not Python
+``html.escape``'s &#x27;/&quot;).
+"""
+
+from __future__ import annotations
+
+from . import htmltok
+from .filters import ARTICLE_FILTERS, article_pipeline
+from .handler import SHOULD_BE_SELF_CLOSING, ContentHandler
+from .ldjson import LinkedDataArticle, merge_linked_data
+
+
+class Document:
+    __slots__ = ("title", "author", "date", "text_blocks", "linked_data")
+
+    def __init__(self):
+        self.title = ""
+        self.author = ""
+        self.date = None
+        self.text_blocks = []
+        self.linked_data = LinkedDataArticle()
+
+    # boilerpipe.go:88-106
+    def text(self, include_content: bool, include_non_content: bool) -> str:
+        parts = []
+        for tb in self.text_blocks:
+            if tb.is_content:
+                if not include_content:
+                    continue
+            else:
+                if not include_non_content:
+                    continue
+            parts.append(tb.text)
+        return go_escape_string("\n".join(parts).strip(" \n"))
+
+    # boilerpipe.go:76-81
+    def content(self) -> str:
+        if self.linked_data.body:
+            return self.linked_data.body
+        return self.text(True, False)
+
+
+# Go html.EscapeString (boilerpipe.go:105): exactly these five, single pass.
+_GO_ESCAPE = str.maketrans(
+    {"&": "&amp;", "'": "&#39;", "<": "&lt;", ">": "&gt;", '"': "&#34;"}
+)
+
+
+def go_escape_string(s: str) -> str:
+    return s.translate(_GO_ESCAPE)
+
+
+def parse_to_handler(html: str) -> ContentHandler:
+    """The parse() event loop — boilerpipe.go:108-158."""
+    h = ContentHandler()
+    z = htmltok.Tokenizer(html)
+    TEXT = htmltok.TEXT
+    START = htmltok.START_TAG
+    END = htmltok.END_TAG
+    ERROR = htmltok.ERROR
+    while True:
+        tt, data, attrs = z.next()
+        if tt == ERROR:
+            break
+        if tt == TEXT:
+            if h.in_ld_json:
+                h.ld_json.append(data)
+            h.text_token(data)
+        elif tt == START:
+            # malformed start tags that should be self-closing are skipped
+            # (boilerpipe.go:130-134, shouldBeSelfClosingTag)
+            if data in SHOULD_BE_SELF_CLOSING:
+                continue
+            if data == "script":
+                for k, v in attrs:
+                    if k == "type" and v == "application/ld+json":
+                        h.in_ld_json = True
+            h.start_element(data, attrs)
+        elif tt == END:
+            if h.in_ld_json:
+                h.in_ld_json = False
+            h.end_element(data)
+        # SELF_CLOSING / COMMENT: do nothing (boilerpipe.go:151-152)
+    return h
+
+
+def parse_document(html) -> Document:
+    """ParseDocument — boilerpipe.go:34-74. Accepts str or (UTF-8) bytes."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="surrogateescape")
+    h = parse_to_handler(html)
+    h.flush_block()
+
+    doc = Document()
+    art = doc.linked_data
+    for s in h.ld_json:
+        ok = merge_linked_data(art, s)
+        if not ok:
+            continue
+        if art.type == "Article":
+            break
+
+    doc.title = art.headline if art.headline else h.title
+    doc.author = art.author_name
+    doc.date = art.date_published if art.date_published is not None else h.time
+    doc.text_blocks = h.text_blocks
+    return doc
+
+
+def extract_article(html) -> Document:
+    """Parse + run the Article pipeline; returns the processed Document."""
+    doc = parse_document(html)
+    article_pipeline(doc)
+    return doc
+
+
+def extract_debug(html):
+    """LoggingPipeline analog (cmd/boilerpipe/serve.go:172-204): returns the
+    document plus per-filter snapshots of (n_blocks, is_content flags) for
+    localizing byte-diffs to the first diverging filter."""
+    doc = parse_document(html)
+    snapshots = []
+    for name, f in ARTICLE_FILTERS:
+        f(doc)
+        snapshots.append(
+            (
+                name,
+                [
+                    (
+                        tb.offset_blocks_start,
+                        tb.offset_blocks_end,
+                        tb.num_words,
+                        tb.num_linked_words,
+                        tb.num_words_in_wrapped_lines,
+                        tb.num_wrapped_lines,
+                        tb.tag_level,
+                        tb.is_content,
+                        sorted(tb.label_map.items()),
+                    )
+                    for tb in doc.text_blocks
+                ],
+            )
+        )
+    return doc, snapshots

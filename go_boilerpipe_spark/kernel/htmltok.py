@@ -1,0 +1,469 @@
+"""HTML tokenizer replicating golang.org/x/net/html's ``Tokenizer``.
+
+The reference (jlubawy/go-boilerpipe) drives its SAX parse off
+``html.NewTokenizer`` (/root/reference/boilerpipe.go:108-158). Byte-identical
+extraction therefore requires the *same token stream*: the same raw-text
+element handling (script/style/iframe/... contents arrive as one un-escaped
+text token, title/textarea as RCDATA), the same malformed-markup recovery
+(bogus comments, "</>" placeholders, text-ending rules), the same
+self-closing detection (source byte before '>' is '/'), and the same entity
+unescaping. Python's ``html.parser`` diverges on several of these (it parses
+tags inside <title>/<iframe>, allows whitespace in "</ script", etc.), so we
+implement the tokenizer directly. State names follow the WHATWG HTML5
+tokenizer spec, which is what the Go implementation follows.
+
+This is pure Python with ``str.find`` jump-scanning on the hot paths; it runs
+inside the Arrow-batched extraction UDF (one call per document).
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+# Token types (subset the parse loop distinguishes; mirrors html.TokenType).
+ERROR = 0  # EOF
+TEXT = 1
+START_TAG = 2
+END_TAG = 3
+SELF_CLOSING = 4
+COMMENT = 5  # also used for doctype/bogus comments (parse loop ignores all)
+
+_RAW_TAGS = frozenset(
+    (
+        "iframe",
+        "noembed",
+        "noframes",
+        "noscript",
+        "plaintext",
+        "script",
+        "style",
+        "textarea",
+        "title",
+        "xmp",
+    )
+)
+
+# RCDATA raw tags: entities are unescaped in their text.
+_RCDATA_TAGS = frozenset(("textarea", "title"))
+
+_WS = " \n\r\t\f"
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _lower(s: str) -> str:
+    # Go's lower() only folds ASCII A-Z.
+    return s.translate(_ASCII_LOWER)
+
+
+def _convert_newlines(s: str) -> str:
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return s
+
+
+def _is_alpha(c: str) -> bool:
+    return "a" <= c <= "z" or "A" <= c <= "Z"
+
+
+class Tokenizer:
+    """Pull tokenizer over a decoded document string.
+
+    ``next()`` returns ``(tt, data, attrs)`` where ``data`` is the processed
+    text for TEXT tokens or the lower-cased tag name for tag tokens, and
+    ``attrs`` is a list of ``(key, value)`` for START_TAG/SELF_CLOSING.
+    """
+
+    __slots__ = ("s", "n", "i", "raw_tag")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.n = len(s)
+        self.i = 0
+        self.raw_tag = ""
+
+    # -- raw text ---------------------------------------------------------
+
+    def _read_raw_end_tag(self, i: int) -> int:
+        """If ``s[i:]`` starts with "</" + raw_tag + terminator, return the
+        position of the "<"; else -1. Caller guarantees s[i:i+2] == "</"."""
+        s, tag = self.s, self.raw_tag
+        j = i + 2
+        end = j + len(tag)
+        if s[j:end].translate(_ASCII_LOWER) != tag:
+            return -1
+        if end >= self.n:
+            return -1  # EOF right after the name: not an end tag (Go: err)
+        if s[end] in " \n\r\t\f/>":
+            return i
+        return -1
+
+    def _read_raw_or_rcdata(self) -> int:
+        """Scan raw text; return its end position (start of "</tag" or EOF).
+        Mirrors Tokenizer.readRawOrRCDATA."""
+        s, n = self.s, self.n
+        i = self.i
+        while True:
+            j = s.find("</", i)
+            if j == -1:
+                return n
+            k = self._read_raw_end_tag(j)
+            if k != -1:
+                return k
+            i = j + 2
+
+    def _read_script(self) -> int:
+        """Scan script data with the spec's escaped / double-escaped states;
+        return end position of the script text. Mirrors Tokenizer.readScript."""
+        s, n = self.s, self.n
+        i = self.i
+
+        # state: 0 = script data, 1 = escaped, 2 = double escaped
+        state = 0
+        while i < n:
+            if state == 0:
+                j = s.find("<", i)
+                if j == -1:
+                    return n
+                c = s[j + 1] if j + 1 < n else ""
+                if c == "/":
+                    k = self._read_raw_end_tag(j)
+                    if k != -1:
+                        return k
+                    i = j + 2
+                elif c == "!":
+                    # script data escape start: needs "--"
+                    if s[j + 2 : j + 4] == "--":
+                        state = 1
+                        i = j + 4
+                    else:
+                        i = j + 2
+                else:
+                    i = j + 1
+            elif state == 1:
+                # escaped: watch for "-->" (back to script data), "</script"
+                # (end), "<script" (double escape)
+                j = i
+                found = False
+                while j < n:
+                    c = s[j]
+                    if c == "-":
+                        # count dash run, then check '>'
+                        k = j
+                        while k < n and s[k] == "-":
+                            k += 1
+                        if k - j >= 2 and k < n and s[k] == ">":
+                            state = 0
+                            i = k + 1
+                            found = True
+                            break
+                        j = k
+                    elif c == "<":
+                        if s[j + 1 : j + 2] == "/":
+                            k = self._read_raw_end_tag(j)
+                            if k != -1:
+                                return k
+                            j += 2
+                        elif j + 1 < n and _is_alpha(s[j + 1]):
+                            # double escape start: "<script" + terminator
+                            name = s[j + 1 : j + 7].translate(_ASCII_LOWER)
+                            if (
+                                name == "script"
+                                and j + 7 < n
+                                and s[j + 7] in " \n\r\t\f/>"
+                            ):
+                                state = 2
+                                i = j + 8
+                                found = True
+                                break
+                            j += 1
+                        else:
+                            j += 1
+                    else:
+                        j += 1
+                if not found:
+                    if j >= n:
+                        return n
+            else:
+                # double escaped: "-->" → script data; "</script" + term →
+                # back to escaped (the end tag is script text)
+                j = i
+                found = False
+                while j < n:
+                    c = s[j]
+                    if c == "-":
+                        k = j
+                        while k < n and s[k] == "-":
+                            k += 1
+                        if k - j >= 2 and k < n and s[k] == ">":
+                            state = 0
+                            i = k + 1
+                            found = True
+                            break
+                        j = k
+                    elif c == "<":
+                        if s[j + 1 : j + 2] == "/":
+                            name = s[j + 2 : j + 8].translate(_ASCII_LOWER)
+                            if (
+                                name == "script"
+                                and j + 8 < n
+                                and s[j + 8] in " \n\r\t\f/>"
+                            ):
+                                state = 1
+                                i = j + 9
+                                found = True
+                                break
+                            j += 2
+                        else:
+                            j += 1
+                    else:
+                        j += 1
+                if not found:
+                    if j >= n:
+                        return n
+        return n
+
+    # -- tags ---------------------------------------------------------------
+
+    def _skip_ws(self, i: int) -> int:
+        s, n = self.s, self.n
+        while i < n and s[i] in _WS:
+            i += 1
+        return i
+
+    def _read_tag_name(self, i: int):
+        """Read tag name starting at the first name char; return (name_lower,
+        next_pos). Mirrors readTagName (terminators: WS consumed, '/' '>'
+        unconsumed)."""
+        s, n = self.s, self.n
+        j = i
+        while j < n:
+            c = s[j]
+            if c in _WS:
+                return _lower(s[i:j]), j + 1
+            if c == "/" or c == ">":
+                return _lower(s[i:j]), j
+            j += 1
+        return _lower(s[i:j]), j
+
+    def _read_tag(self, i: int, save_attr: bool):
+        """Parse a tag starting at the first name char. Returns
+        (name, attrs, end_pos, eof). end_pos is just past '>'."""
+        s, n = self.s, self.n
+        name, i = self._read_tag_name(i)
+        attrs = [] if save_attr else None
+        i = self._skip_ws(i)
+        while True:
+            if i >= n:
+                return name, attrs, i, True
+            c = s[i]
+            if c == ">":
+                return name, attrs, i + 1, False
+            # readTagAttrKey
+            k0 = i
+            while i < n:
+                c = s[i]
+                if c == "=" and i == k0:
+                    # leading '=' is part of the name (WHATWG 13.2.5.32)
+                    i += 1
+                    continue
+                if c in _WS or c == "/" or c == ">" or c == "=":
+                    break
+                i += 1
+            key = s[k0:i]
+            # readTagAttrVal
+            val = ""
+            i = self._skip_ws(i)
+            if i >= n:
+                if save_attr and key:
+                    attrs.append((_lower(key), val))
+                return name, attrs, i, True
+            c = s[i]
+            if c == "/":
+                i += 1
+            elif c == "=":
+                i = self._skip_ws(i + 1)
+                if i >= n:
+                    if save_attr and key:
+                        attrs.append((_lower(key), val))
+                    return name, attrs, i, True
+                q = s[i]
+                if q == ">":
+                    pass  # unconsumed; loop sees it
+                elif q == '"' or q == "'":
+                    j = s.find(q, i + 1)
+                    if j == -1:
+                        val = s[i + 1 :]
+                        i = n
+                    else:
+                        val = s[i + 1 : j]
+                        i = j + 1
+                else:
+                    j = i
+                    while j < n and s[j] not in _WS and s[j] != ">":
+                        j += 1
+                    val = s[i:j]
+                    i = j if (j < n and s[j] == ">") else j + 1
+                    if i > n:
+                        i = n
+            if save_attr and key:
+                attrs.append(
+                    (_lower(key), _html.unescape(_convert_newlines(val)))
+                )
+            i = self._skip_ws(i)
+
+    # -- comments / declarations ---------------------------------------------
+
+    def _read_until_close_angle(self, i: int) -> int:
+        j = self.s.find(">", i)
+        return self.n if j == -1 else j + 1
+
+    def _read_comment(self, i: int) -> int:
+        """Position just past the end of a "<!--" comment starting at ``i``
+        (just past the opening dashes). Mirrors readComment."""
+        s, n = self.s, self.n
+        dash_count = 2
+        while i < n:
+            c = s[i]
+            i += 1
+            if c == "-":
+                dash_count += 1
+            elif c == ">":
+                if dash_count >= 2:
+                    return i
+                dash_count = 0
+            elif c == "!":
+                if dash_count >= 2:
+                    if i < n and s[i] == ">":
+                        return i + 1
+                    i += 1  # the checked byte was consumed
+                dash_count = 0
+            else:
+                dash_count = 0
+        return n
+
+    def _read_markup_declaration(self, i: int) -> int:
+        """Handle "<!..." starting just past "<!"; return end position."""
+        s, n = self.s, self.n
+        if s[i : i + 2] == "--":
+            return self._read_comment(i + 2)
+        if s[i : i + 7].translate(_ASCII_LOWER) == "doctype":
+            return self._read_until_close_angle(i + 7)
+        return self._read_until_close_angle(i)
+
+    # -- main ---------------------------------------------------------------
+
+    def next(self):
+        s, n = self.s, self.n
+        i = self.i
+        if i >= n:
+            return (ERROR, "", None)
+
+        if self.raw_tag:
+            tag = self.raw_tag
+            if tag == "plaintext":
+                end = n
+                raw = True
+            elif tag == "script":
+                end = self._read_script()
+                raw = True
+            else:
+                end = self._read_raw_or_rcdata()
+                raw = tag not in _RCDATA_TAGS
+            self.raw_tag = ""
+            if end > i:
+                self.i = end
+                text = _convert_newlines(s[i:end])
+                if raw:
+                    if "\x00" in text:
+                        text = text.replace("\x00", "�")
+                else:
+                    text = _html.unescape(text)
+                return (TEXT, text, None)
+            # empty raw text: fall through to normal scanning
+
+        i = self.i
+        text_start = i
+        while True:
+            j = s.find("<", i)
+            if j == -1:
+                # EOF: all remaining is text
+                self.i = n
+                if text_start < n:
+                    return (TEXT, self._text(s[text_start:n]), None)
+                return (ERROR, "", None)
+            if j + 1 >= n:
+                # '<' then EOF → text includes it
+                self.i = n
+                return (TEXT, self._text(s[text_start:n]), None)
+            c = s[j + 1]
+            if _is_alpha(c):
+                tok_type = START_TAG
+            elif c == "/":
+                tok_type = END_TAG
+            elif c == "!" or c == "?":
+                tok_type = COMMENT
+            else:
+                i = j + 1  # '<' is part of text
+                continue
+
+            if text_start < j:
+                # emit accumulated text first; re-scan the tag next call
+                self.i = j
+                return (TEXT, self._text(s[text_start:j]), None)
+
+            if tok_type == START_TAG:
+                name, attrs, end, eof = self._read_tag(j + 1, True)
+                if eof:
+                    self.i = n
+                    return (ERROR, "", None)
+                self.i = end
+                if name in _RAW_TAGS:
+                    # rawTag is set even when the tag turns out self-closing
+                    # (x/net/html readStartTag does the same).
+                    self.raw_tag = name
+                # self-closing iff the source byte before '>' is '/'
+                if end - 2 >= 0 and s[end - 2] == "/":
+                    return (SELF_CLOSING, name, attrs)
+                return (START_TAG, name, attrs)
+
+            if tok_type == END_TAG:
+                if j + 2 >= n:
+                    # "</" then EOF → becomes text
+                    self.i = n
+                    return (TEXT, self._text(s[text_start:n]), None)
+                c = s[j + 2]
+                if c == ">":
+                    # "</>" yields no real token (empty comment placeholder)
+                    self.i = j + 3
+                    return (COMMENT, "", None)
+                if _is_alpha(c):
+                    name, _, end, eof = self._read_tag(j + 2, False)
+                    if eof:
+                        self.i = n
+                        return (ERROR, "", None)
+                    self.i = end
+                    return (END_TAG, name, None)
+                self.i = self._read_until_close_angle(j + 2)
+                return (COMMENT, "", None)
+
+            # COMMENT-ish
+            if c == "!":
+                self.i = self._read_markup_declaration(j + 2)
+            else:  # "<?"
+                self.i = self._read_until_close_angle(j + 2)
+            return (COMMENT, "", None)
+
+    def _text(self, raw: str) -> str:
+        return _html.unescape(_convert_newlines(raw))
+
+
+def tokens(s: str):
+    """Iterate ``(tt, data, attrs)`` until EOF."""
+    z = Tokenizer(s)
+    while True:
+        t = z.next()
+        if t[0] == ERROR:
+            return
+        yield t
