@@ -1,38 +1,690 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-document extraction (the north-rule
+workload) over a deterministic synthesized pages table built from the
+reference golden corpus and returns the extracted table with a golden
+byte-parity flag per row.
+
+``queries()``/``oracle_sql()`` expose the engine's operator surface over
+the driver tables (SURVEY.md §2.5 analogs + the training-data-pipeline
+operators): aggregations, windows, sessionization, URL functions, dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + sign-LSH), text analysis, and the multimodal plumbing.
+Every query aliases its computed columns identically in the Spark plan
+and the DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from go_boilerpipe_spark.functions import textstats, urls  # noqa: E402
+from go_boilerpipe_spark.operators import dedup, similarity  # noqa: E402
+from go_boilerpipe_spark.operators.extract import extract_articles  # noqa: E402
+from go_boilerpipe_spark.operators.multimodal import decode_media  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _shipped(fn):
+    """Ensure the package zip is attached to whatever session the driver
+    passes in (the --py-files mechanism) before running a query."""
+    from go_boilerpipe_spark.pyfiles import ensure_shipped
+
+    def wrapper(spark, sf_dir):
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship extraction
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Article extraction over a synthesized Common-Crawl-style
+    pages table (7 golden docs × replication; BASELINE.json input_hint
+    shape), verified row-by-row against the reference's expected bytes."""
+    from go_boilerpipe_spark.pyfiles import ensure_shipped
+    from go_boilerpipe_spark.sources.pages import golden_df, synthesize_pages
+
+    ensure_shipped(spark)
+    pages = synthesize_pages(spark, 70, partitions=4)
+    extracted = extract_articles(
+        pages.filter(F.col("html").isNotNull()), parallelism=8
+    )
+    base_url = F.regexp_replace("url", r"[?&]rep=\d+$", "")
+    golden = golden_df(spark)
+    return (
+        extracted.withColumn("base_url", base_url)
+        .join(F.broadcast(golden), F.col("base_url") == golden["url"], "inner")
+        .select(
+            extracted["url"],
+            "title",
+            "date",
+            F.length("content").alias("content_chars"),
+            (F.col("content") == F.col("exp_content")).alias("golden_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept textually close to the Spark expressions)
+# ---------------------------------------------------------------------------
+
+_URL_EXPR_SQL = (
+    "'HTTP://WWW.' || upper(source) || '.COM/A//B/' || doc_id || "
+    "'/?utm_source=x&y=1#frag'"
+)
+
+
+def _url_col():
+    return F.concat(
+        F.lit("HTTP://WWW."), F.upper("source"), F.lit(".COM/A//B/"),
+        F.col("doc_id"), F.lit("/?utm_source=x&y=1#frag"),
+    )
+
+
+def _marker_sql(col: str, words) -> str:
+    """SQL twin of textstats._marker_hits."""
+    padded = f"(' ' || lower({col}) || ' ')"
+    terms = []
+    for w in words:
+        pat = f" {w} "
+        terms.append(
+            f"CAST((length({padded}) - length(replace({padded}, '{pat}', ' ')))"
+            f" / {len(pat) - 1} AS INT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_doc_stats_by_lang(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def _q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_events_sessionize(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session tz is UTC so the cast is
+    # the identity mapping DuckDB's epoch_us applies to naive timestamps
+    ts = F.col("ts").cast("timestamp")
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    new_s = F.when(gap.isNull() | (gap > 600_000_000), 1).otherwise(0)
+    sess = F.sum(new_s).over(
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two-pass: flag then cumulative-sum (the BlockProximityFusion analog)
+    flagged = ev.withColumn("session_id", sess)
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def _q_events_cumsum(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+def _q_events_lag_classifier(spark, sf):
+    # NumWordsRulesClassifier (filter.go:682-758) re-expressed as lag/lead
+    # over an ordered event stream (SURVEY.md §2.5 window analog)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_v = F.coalesce(F.lag("value").over(w), F.lit(0.0))
+    next_v = F.coalesce(F.lead("value").over(w), F.lit(0.0))
+    curr_v = F.col("value")
+    is_content = F.when(
+        curr_v <= 6.0,
+        F.when(
+            prev_v <= 9.0,
+            F.when(
+                curr_v <= 3.0,
+                F.when(next_v <= 3.0, prev_v > 1.0).otherwise(F.lit(True)),
+            ).otherwise(F.lit(True)),
+        ).otherwise(
+            F.when(curr_v <= 8.0, next_v > 4.0).otherwise(F.lit(True))
+        ),
+    ).otherwise(F.lit(False))
+    return ev.select("event_id", "user_id", is_content.alias("is_content"))
+
+
+def _q_largest_per_user(spark, sf):
+    # KeepLargestBlocks argmax analog (filter.go:442-460)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+def _q_orders_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_url_normalize(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", urls.normalize_url(_url_col()).alias("norm_url")
+    )
+
+
+def _q_url_root(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", urls.url_root(_url_col()).alias("root"))
+
+
+def _q_url_dates(spark, sf):
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.lit("https://h.com/"),
+        (F.lit(2000) + F.col("doc_id") % 26).cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("/page"),
+    )
+    return d.select("doc_id", urls.url_date(u).alias("url_date"))
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_dedup_minhash(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4
+    )
+
+
+def _q_dedup_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"), bits=32)
+
+
+def _q_near_dup_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return dedup.jaccard_verify_pairs(docs, pairs, threshold=0.5)
+
+
+def _q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def _q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    feats = textstats.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        textstats.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def _q_token_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        textstats.token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _q_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", textstats.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _queries_emb(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return e, q
+
+
+def _q_ann_brute(spark, sf):
+    e, q = _queries_emb(spark, sf)
+    return similarity.cosine_topk(e, q, k=10)
+
+
+def _q_ann_lsh(spark, sf):
+    e, q = _queries_emb(spark, sf)
+    return similarity.cosine_topk_lsh(e, q, k=10, h=8)
+
+
+def _q_multimodal(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+    return decode_media(d)
+
+
+def _q_extract_golden(spark, sf):
+    # flagship through the queries surface (rows-only check: the per-doc
+    # SAX extraction is not ANSI-SQL-expressible; pytest is its gate)
+    from go_boilerpipe_spark.sources.pages import golden_df, synthesize_pages
+
+    pages = synthesize_pages(spark, 35, partitions=4)
+    extracted = extract_articles(pages, parallelism=8)
+    golden = golden_df(spark)
+    base_url = F.regexp_replace("url", r"[?&]rep=\d+$", "")
+    return (
+        extracted.withColumn("base_url", base_url)
+        .join(F.broadcast(golden), F.col("base_url") == golden["url"])
+        .select(
+            extracted["url"],
+            (F.col("content") == F.col("exp_content")).alias("golden_ok"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        k: _shipped(v)
+        for k, v in _RAW_QUERIES.items()
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_RAW_QUERIES = {
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "tpch_q1": _q_tpch_q1,
+        "events_sessionize": _q_events_sessionize,
+        "events_cumsum": _q_events_cumsum,
+        "events_lag_classifier": _q_events_lag_classifier,
+        "largest_per_user": _q_largest_per_user,
+        "orders_join": _q_orders_join,
+        "url_normalize": _q_url_normalize,
+        "url_root": _q_url_root,
+        "url_dates": _q_url_dates,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprints": _q_fingerprints,
+        "ann_cosine_topk": _q_ann_brute,
+        "ann_cosine_lsh": _q_ann_lsh,
+        "multimodal_decode": _q_multimodal,
+        "extract_golden": _q_extract_golden,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+        [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]
+    ELSE [array_to_string(toks, ' ')] END)
+"""
+
+_MINHASH_SQL = """
+WITH toksrc AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), shing AS (
+    SELECT doc_id, unnest({sh}) AS sh FROM toksrc
+), sig AS (
+    SELECT doc_id, {minaggs} FROM shing GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, unnest([{bandkeys}]) AS bucket FROM sig
+)
+""".strip()
+
+
+def _minhash_cte(num_hashes=8, bands=4):
+    rows = num_hashes // bands
+    minaggs = ", ".join(
+        f"min(md5('s{j}:' || sh)) AS mh{j}" for j in range(num_hashes)
+    )
+    bandkeys = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b*rows+r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return _MINHASH_SQL.format(sh=_SHINGLES_SQL, minaggs=minaggs, bandkeys=bandkeys)
+
+
+def _lang_id_sql():
+    s = {c: _marker_sql("text", ws) for c, ws in textstats.LANG_MARKERS.items()}
+    cjk = "(length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))".format()
+    return f"""
+SELECT doc_id,
+  CASE WHEN {cjk} * 5 > length(text) THEN 'zh'
+       WHEN {s['en']} > 0 AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en'
+       WHEN {s['de']} > 0 AND {s['de']} > {s['en']} AND {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'
+       WHEN {s['fr']} > 0 AND {s['fr']} > {s['en']} AND {s['fr']} > {s['de']} AND {s['fr']} >= {s['es']} THEN 'fr'
+       WHEN {s['es']} > 0 AND {s['es']} > {s['en']} AND {s['es']} > {s['de']} AND {s['es']} > {s['fr']} THEN 'es'
+       ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+def _quality_sql():
+    stop = _marker_sql("text", textstats.LANG_MARKERS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS nc,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+    length(text) - length(regexp_replace(text, '[\\.,;:!\\?\\-''"()]', '', 'g')) AS np,
+    {stop} AS ns
+  FROM documents
+)
+SELECT doc_id, toks AS n_tokens,
+  round(np / greatest(nc, 1), 6) AS punct_ratio,
+  round(ns / greatest(toks, 1), 6) AS stopword_ratio,
+  round(CASE WHEN toks > 0 THEN (nc - toks + 1) / toks ELSE 0.0 END, 6) AS mean_word_len,
+  round(
+    (CASE WHEN toks BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+    (CASE WHEN round(np / greatest(nc, 1), 6) BETWEEN 0.001 AND 0.3 THEN 0.3 ELSE 0.0 END) +
+    (CASE WHEN round(ns / greatest(toks, 1), 6) >= 0.01 THEN 0.3 ELSE 0.0 END), 6
+  ) AS quality_score
+FROM base
+"""
+
+
+_COS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(
+      list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                FOR i IN generate_series(1, len(e.embedding))])
+      / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        FOR i IN generate_series(1, len(e.embedding))]))
+       * sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                        FOR i IN generate_series(1, len(q.qv))]))), 5) AS cosine
+  FROM embeddings e {join} q {cond}
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+_BUCKET_SQL = (
+    "list_sum([CASE WHEN {v}[i+1] > 0 THEN 2**i ELSE 0 END "
+    "FOR i IN generate_series(0, 7)])"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    url_norm = (
+        f"lower(regexp_replace(regexp_replace(regexp_replace({_URL_EXPR_SQL}, "
+        "'[?#].*$', ''), '([^:])/{{2,}}', '\\1/', 'g'), '([^/])/$', '\\1'))"
+    ).replace("{{", "{").replace("}}", "}")
+    return {
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+                        THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), sess AS (
+              SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+                   min(event_id) AS first_event
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_cumsum": """
+            SELECT event_id, user_id,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS cum_value
+            FROM events
+        """,
+        "events_lag_classifier": """
+            WITH w_ev AS (
+              SELECT event_id, user_id, value,
+                coalesce(lag(value) OVER w, 0.0) AS prev_v,
+                coalesce(lead(value) OVER w, 0.0) AS next_v
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            )
+            SELECT event_id, user_id,
+              CASE WHEN value <= 6.0 THEN
+                CASE WHEN prev_v <= 9.0 THEN
+                  CASE WHEN value <= 3.0 THEN
+                    CASE WHEN next_v <= 3.0 THEN prev_v > 1.0 ELSE TRUE END
+                  ELSE TRUE END
+                ELSE CASE WHEN value <= 8.0 THEN next_v > 4.0 ELSE TRUE END END
+              ELSE FALSE END AS is_content
+            FROM w_ev
+        """,
+        "largest_per_user": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "orders_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "url_normalize": f"SELECT doc_id, {url_norm} AS norm_url FROM documents",
+        "url_root": f"""
+            WITH h AS (
+              SELECT doc_id,
+                regexp_extract(lower({_URL_EXPR_SQL}),
+                               '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, string_split(host, '.') AS p FROM h
+            )
+            SELECT doc_id,
+              CASE WHEN len(p) >= 3
+                   THEN array_to_string(p[len(p)-1:len(p)], '.')
+                   ELSE array_to_string(p, '.') END AS root
+            FROM parts
+        """,
+        "url_dates": """
+            SELECT doc_id,
+              CAST(make_date(2000 + CAST(doc_id % 26 AS INT),
+                             CAST(doc_id % 12 + 1 AS INT),
+                             CAST(doc_id % 28 + 1 AS INT)) AS DATE) AS url_date
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS text_hash,
+              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+              doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+            FROM documents
+        """,
+        "dedup_minhash_lsh": _minhash_cte() + """
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents
+            ), h AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 14))::BIGINT AS hv FROM tok
+            ), bits AS (
+              SELECT doc_id, i,
+                sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, unnest(generate_series(0, 31)) u(i)
+              GROUP BY doc_id, i
+            )
+            SELECT doc_id,
+              CAST(sum(CASE WHEN s > 0 THEN 2**i ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "near_dup_jaccard": _minhash_cte() + """
+            , pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, {sh} AS sh_set FROM toksrc
+            )
+            SELECT p.id_a, p.id_b,
+              round(len(list_intersect(sa.sh_set, sb.sh_set)) /
+                    greatest(len(list_distinct(sa.sh_set || sb.sh_set)), 1), 6)
+                AS jaccard
+            FROM pairs p
+            JOIN sets sa ON sa.doc_id = p.id_a
+            JOIN sets sb ON sb.doc_id = p.id_b
+            WHERE round(len(list_intersect(sa.sh_set, sb.sh_set)) /
+                  greatest(len(list_distinct(sa.sh_set || sb.sh_set)), 1), 6) >= 0.5
+        """.replace("{sh}", _SHINGLES_SQL),
+        "lang_id": _lang_id_sql(),
+        "quality": _quality_sql(),
+        "token_counts": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]+'))
+                 + len(regexp_extract_all(text, '[A-Za-z]{7,}')) AS INT)
+                AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprints": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+              md5(array_to_string(
+                [toks[i] FOR i IN generate_series(1, len(toks)) IF (i-1) % 8 = 0],
+                ' ')) AS fingerprint
+            FROM t
+        """,
+        "ann_cosine_topk": _COS_SQL.format(join="CROSS JOIN", cond=""),
+        "ann_cosine_lsh": _COS_SQL.format(
+            join="JOIN",
+            cond="ON " + _BUCKET_SQL.format(v="e.embedding")
+            + " = " + _BUCKET_SQL.format(v="q.qv"),
+        ),
+        "multimodal_decode": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              CAST(strlen(text) AS INT) AS byte_len,
+              CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1961 AS INT) AS width,
+              CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1017 AS INT) AS height,
+              CAST(1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 240 AS INT) AS n_frames,
+              CAST(8000 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 40000 AS INT) AS sample_rate
+            FROM documents
+        """,
+        # extract_golden: intentionally no oracle — the per-document SAX
+        # extraction is not ANSI-SQL-expressible; its gate is the golden
+        # byte-parity pytest suite (tests/test_golden.py).
+    }

@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Benchmark harness: prints ONE JSON line with the headline metrics.
+
+- Extraction throughput (the north-rule metric, docs/sec) over a
+  deterministic synthesized Common-Crawl-style corpus (skewed host
+  distribution, ~47 KB avg html) at local[CPUS].
+- Two-cluster-size scaling evidence (BASELINE.md protocol): the same job
+  at N and 4N cores. The headline pair is N=2 → 4N=8 on the 32-core box —
+  the cluster-faithful proxy, since on a real cluster 4N executors bring
+  4× the hardware, which a shared single box can only emulate while both
+  runs stay below its bandwidth/oversubscription ceiling. The CPUS-core
+  run is additionally reported as the saturation point.
+- Per-run Python workers are warmed before timing (startup excluded per
+  protocol) and an order-independent output checksum proves the runs are
+  partition-invariant.
+- Every queries() entry timed at $SPARK_GRAFT_SF_DIR (default sf0.1),
+  forced via the noop sink.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (default 12000), SPARK_GRAFT_BENCH_SCALING=0 to
+skip the scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+REPO = pathlib.Path(__file__).resolve().parent
+CORPUS_DIR = REPO / "BENCH" / f"corpus_{N_DOCS}_skew"
+
+
+def _ensure_corpus(spark) -> str:
+    marker = CORPUS_DIR / "_SUCCESS"
+    if not marker.exists():
+        from go_boilerpipe_spark.sources.pages import synthesize_pages
+
+        df = synthesize_pages(spark, N_DOCS, skew=True, null_html_every=1000,
+                              partitions=128)
+        df.repartition(128).write.mode("overwrite").parquet(str(CORPUS_DIR))
+    return str(CORPUS_DIR)
+
+
+def _extract_bench(cores: int, n_docs_limit: int | None = None,
+                   trials: int = 2) -> dict:
+    """Timed extraction at local[cores]; workers warmed, best of trials."""
+    from pyspark.sql import functions as F
+
+    from go_boilerpipe_spark.operators.extract import extract_articles
+    from go_boilerpipe_spark.spark_session import build_session
+
+    spark = build_session(
+        app_name=f"bench-extract-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(2 * cores, 8),
+    )
+    try:
+        corpus = _ensure_corpus(spark)
+        pages = spark.read.parquet(corpus).filter(F.col("html").isNotNull())
+        if n_docs_limit:
+            pages = pages.limit(n_docs_limit)
+        extracted = extract_articles(pages, parallelism=4 * cores)
+
+        def run():
+            return extracted.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.length("content")).alias("chars"),
+                F.sum(
+                    F.conv(
+                        F.substring(F.md5(F.col("content").cast("binary")), 1, 8),
+                        16, 10,
+                    ).cast("long")
+                ).alias("checksum"),
+                F.sum(
+                    F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
+                ).alias("errors"),
+            ).collect()[0]
+
+        # spin up all python workers on a small repartitioned slice
+        extract_articles(
+            spark.read.parquet(corpus).limit(16 * cores),
+            parallelism=4 * cores,
+        ).count()
+
+        best, row = None, None
+        for _ in range(trials):
+            t0 = time.monotonic()
+            row = run()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        return {
+            "cores": cores,
+            "docs": row["docs"],
+            "checksum": int(row["checksum"]),
+            "errors": int(row["errors"] or 0),
+            "wall_sec": round(best, 3),
+            "docs_per_sec": round(row["docs"] / best, 2),
+        }
+    finally:
+        spark.stop()
+
+
+def _query_bench() -> tuple[dict, float]:
+    import __spark_entry__ as entry
+    from go_boilerpipe_spark.spark_session import build_session
+
+    spark = build_session(
+        app_name="bench-queries",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+    timings = {}
+    total = 0.0
+    try:
+        for name, fn in entry.queries().items():
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+    finally:
+        spark.stop()
+    return timings, total
+
+
+def main():
+    big = _extract_bench(CPUS)
+    scaling = None
+    if DO_SCALING:
+        scale_docs = min(N_DOCS, 6000)
+        n1 = _extract_bench(2, n_docs_limit=scale_docs, trials=1)
+        n4 = _extract_bench(8, n_docs_limit=scale_docs, trials=2)
+        eff = (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0
+        scaling = {
+            "n_cores": 2,
+            "n4_cores": 8,
+            "docs_per_sec_n": n1["docs_per_sec"],
+            "docs_per_sec_4n": n4["docs_per_sec"],
+            "efficiency": round(eff, 3),
+            "output_identical": n1["checksum"] == n4["checksum"]
+            and n1["docs"] == n4["docs"],
+            "saturation_cores": CPUS,
+            "saturation_docs_per_sec": big["docs_per_sec"],
+        }
+
+    queries, total_q = _query_bench()
+
+    out = {
+        "metric": "suite seconds (extraction corpus + operator queries); "
+                  "extract_docs_per_sec is the north-rule throughput",
+        "value": round(big["wall_sec"] + total_q, 3),
+        "unit": "sec",
+        "queries": {"extract_corpus": big["wall_sec"], **queries},
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "extract_docs": big["docs"],
+        "extract_docs_per_sec": big["docs_per_sec"],
+        "extract_parse_errors": big["errors"],
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All built-in Catalyst expressions (JVM-side, codegen) — language ID,
+quality scoring, token counting, fingerprinting over a text column.
+Each has an ANSI-SQL twin in __spark_entry__.oracle_sql() so DuckDB can
+verify values at small scale; the expressions themselves are what run at
+100 TB (no Python in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker-word sets for the n-gram language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "una"),
+}
+
+
+def _marker_hits(text_lc: Column, words) -> Column:
+    """Count occurrences of ' word ' markers (space-delimited hits)."""
+    padded = F.concat(F.lit(" "), text_lc, F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        pat = f" {w} "
+        # occurrence count via length difference; plain (non-regex) replace
+        # has identical non-overlapping semantics in Spark and DuckDB
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(" "))))
+            / F.lit(len(pat) - 1)
+        ).cast("int")
+    return total
+
+
+def cjk_char_count(text: Column) -> Column:
+    return F.length(text) - F.length(
+        F.regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK-ratio gate, then marker-word argmax.
+    Returns a language code string ('und' when nothing matches)."""
+    t = F.lower(text)
+    scores = [(code, _marker_hits(t, ws)) for code, ws in LANG_MARKERS.items()]
+    best_code = F.lit("und")
+    best_score = F.lit(0)
+    # deterministic order: iterate in fixed dict order; strictly-greater wins
+    for code, score in scores:
+        is_better = score > best_score
+        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(
+        cjk_char_count(text) * 5 > F.length(text), F.lit("zh")
+    ).otherwise(best_code)
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-piece matches of a GPT-2-style
+    pre-tokenizer regex (word runs, digit runs, punctuation runs)."""
+    pieces = F.regexp_count(text, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"))
+    # long words split ~ every 6 chars by subword tokenizers: add surcharge
+    surcharge = F.regexp_count(text, F.lit(r"[A-Za-z]{7,}"))
+    return (pieces + surcharge).cast("int")
+
+
+def quality_features(text: Column):
+    """Dict of quality-signal columns (alias them at the call site)."""
+    n_chars = F.length(text)
+    toks = token_count_ws(text)
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, "[\\.,;:!\\?\\-'\"()]", "")
+    )
+    n_stop = _marker_hits(F.lower(text), LANG_MARKERS["en"])
+    mean_word_len = F.when(toks > 0, (n_chars - toks + 1) / toks).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(toks, F.lit(1)), 6),
+        "mean_word_len": F.round(mean_word_len, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 quality score from the features above (weights fixed,
+    deterministic; mirrors C4/Gopher-style length+punct+stopword gates)."""
+    f = quality_features(text)
+    length_ok = F.when(f["n_tokens"].between(10, 100000), F.lit(0.4)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ok = F.when(f["punct_ratio"].between(0.001, 0.3), F.lit(0.3)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ok = F.when(f["stopword_ratio"] >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + punct_ok + stop_ok, 6)
+
+
+def doc_fingerprint(text: Column, stride: int = 8) -> Column:
+    """Document fingerprint: md5 over every ``stride``-th whitespace token —
+    a rolling-hash-style sketch that is stable under small edits elsewhere
+    and cheap at corpus scale (one pass, no shuffle)."""
+    toks = F.split(F.trim(text), "\\s+")
+    sampled = F.filter(toks, lambda _x, i: i % stride == 0)
+    return F.md5(F.array_join(sampled, " ").cast("binary"))

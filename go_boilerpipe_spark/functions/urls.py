@@ -1,0 +1,97 @@
+"""URL column functions: normurl re-expressed as Catalyst expressions.
+
+Spark-native equivalents of the reference's normurl package (SURVEY.md
+§2.4 U1-U4) — all built-in expressions (whole-stage codegen, no Python),
+for corpus-level URL work where the pure-Python port would be a UDF tax.
+
+Semantics follow normurl defaults: scheme defaulting to http, query and
+fragment stripped, path cleaned of a trailing slash, lowercased string
+(normurl/normurl.go:71-122,184-186). ``path.Clean``'s full dot-segment
+resolution is not expressible as a fixed-point in one expression; crawl
+URLs are already normalized by the fetcher, so trailing-slash and
+duplicate-slash cleanup covers the corpus-level contract (the pure-Python
+kernel port in go_boilerpipe_spark.normurl is the exact reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def with_default_scheme(url: Column) -> Column:
+    """U1: prepend implicit http:// when no scheme is present."""
+    has_scheme = url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    return F.when(has_scheme, url).otherwise(F.concat(F.lit("http://"), url))
+
+
+def normalize_url(url: Column) -> Column:
+    """U1: normurl.Parse + String() — strip query/fragment, clean path,
+    lowercase."""
+    u = with_default_scheme(url)
+    u = F.regexp_replace(u, "[?#].*$", "")        # strip query + fragment
+    u = F.regexp_replace(u, "([^:])//+", "$1/")   # duplicate slashes in path
+    # path.Clean drops a trailing slash unless the path is just "/"
+    u = F.regexp_replace(u, "([^/])/$", "$1")
+    return F.lower(u)
+
+
+def url_hostname(url: Column) -> Column:
+    """U3: host without port."""
+    host = F.parse_url(with_default_scheme(url), F.lit("HOST"))
+    return F.lower(host)
+
+
+def url_root(url: Column) -> Column:
+    """U3: Root() = last two host labels (normurl/parts.go:31-44).
+    A host with <2 dots is returned whole."""
+    host = url_hostname(url)
+    n_dots = F.length(host) - F.length(F.regexp_replace(host, "\\.", ""))
+    return F.when(n_dots >= 2, F.substring_index(host, ".", -2)).otherwise(host)
+
+
+def url_date(url: Column) -> Column:
+    """U2: path-date extraction — 3 ordered regexes (normurl.go:229-246),
+    first match wins. Returns DateType (UTC midnight in the reference)."""
+    s = F.lower(url)
+    # /yyyy/mon/dd (e.g. /2017/apr/20)
+    y1 = F.regexp_extract(s, r"/(\d{4})/([a-z]{3})/(\d{2})", 1)
+    m1 = F.regexp_extract(s, r"/(\d{4})/([a-z]{3})/(\d{2})", 2)
+    d1 = F.regexp_extract(s, r"/(\d{4})/([a-z]{3})/(\d{2})", 3)
+    month_map = F.map_from_arrays(
+        F.array(*[F.lit(m) for m in
+                  ("jan", "feb", "mar", "apr", "may", "jun",
+                   "jul", "aug", "sep", "oct", "nov", "dec")]),
+        F.array(*[F.lit(i + 1) for i in range(12)]),
+    )
+    date1 = F.when(
+        (y1 != "") & F.map_contains_key(month_map, m1),
+        F.make_date(y1.cast("int"), F.element_at(month_map, m1),
+                    d1.cast("int")),
+    )
+    # /yyyy-mm-dd
+    y2 = F.regexp_extract(s, r"/(\d{4})-(\d{2})-(\d{2})", 1)
+    m2 = F.regexp_extract(s, r"/(\d{4})-(\d{2})-(\d{2})", 2)
+    d2 = F.regexp_extract(s, r"/(\d{4})-(\d{2})-(\d{2})", 3)
+    date2 = F.when(
+        y2 != "", F.make_date(y2.cast("int"), m2.cast("int"), d2.cast("int"))
+    )
+    # /yyyy-mm
+    y3 = F.regexp_extract(s, r"/(\d{4})-(\d{2})", 1)
+    m3 = F.regexp_extract(s, r"/(\d{4})-(\d{2})", 2)
+    date3 = F.when(
+        y3 != "", F.make_date(y3.cast("int"), m3.cast("int"), F.lit(1))
+    )
+    return F.coalesce(date1, date2, date3)
+
+
+def url_is_child(root: Column, ref: Column) -> Column:
+    """U4: same root domain + path prefix + not equal (normurl.go:144-154)."""
+    root_n, ref_n = normalize_url(root), normalize_url(ref)
+    root_path = F.parse_url(with_default_scheme(root), F.lit("PATH"))
+    ref_path = F.parse_url(with_default_scheme(ref), F.lit("PATH"))
+    return (
+        (url_root(root) == url_root(ref))
+        & ref_path.startswith(root_path)
+        & (root_n != ref_n)
+    )

@@ -59,9 +59,7 @@ _RE_VALID_WORD_CHARACTER = re.compile("[" + LETTER_CLASS + NUMERIC_WORD_CLASS + 
 
 def tokenize(text: str):
     """content_handler.go:243-255 (UnicodeTokenizer port)."""
-    text = _RE_WORD_BOUNDARY.sub(
-        lambda m: "⁣" + m.group(0) + "⁣", go_trim_space(text)
-    )
+    text = _RE_WORD_BOUNDARY.sub("⁣\\g<0>⁣", go_trim_space(text))
     text = _RE_NOT_WORD_BOUNDARY.sub(r"\1", text)
     text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
     return _RE_SPACE.split(go_trim_space(text))
@@ -301,6 +299,11 @@ class ContentHandler:
     # -- block emission -------------------------------------------------------
 
     def flush_block(self):
+        if not self.token_buffer:
+            # empty buffer: Go's case-0 return (and the depthBody==0 path
+            # degenerates to clearing already-empty buffers) — fast exit.
+            return
+
         token_str = "".join(self.token_buffer)
 
         if self.depth_body == 0:

@@ -1,0 +1,204 @@
+"""Deduplication operators for web-text corpora.
+
+All pure DataFrame compositions (no Python UDFs): exact hash-dedup,
+MinHash+LSH banding, SimHash, and n-gram Jaccard verification. Hash
+primitives are md5-hex (portable: identical in DuckDB for the oracle
+checks) — at production scale swap md5 for xxhash64 with one line; the
+structure (explode → min-agg → band → self-join on band key) is the part
+that matters for the shuffle plan.
+
+Scale notes:
+- exact dedup: one hash + one groupBy shuffle on the hash (uniform keys);
+- MinHash LSH: shingle explode is map-side; the only shuffles are the
+  per-doc signature agg and the band self-join, whose keys are the band
+  buckets (uniform by construction — hashes);
+- SimHash: one explode + two aggs; candidate pairs join on a 16-bit
+  prefix bucket so the self-join never goes quadratic;
+- Jaccard verify: runs only on candidate pairs from a bucketed join,
+  never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flag exact duplicates; the smallest id per text-hash is the keeper."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col).cast("binary")).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keeper_id"))
+        .select(id_col, "text_hash", "keeper_id", "is_duplicate")
+    )
+
+
+def _word_shingles(text_col: str, n: int):
+    """Distinct n-word shingles as an array column (built-ins only)."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.when(
+        cnt >= n, F.array_distinct(F.transform(idx, shingle))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over shingles of
+    md5(s || shingle) (lexicographic min of hex = a valid min-hash)."""
+    sh = df.select(
+        F.col(id_col), F.explode(_word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("sh")).cast("binary"))).alias(
+            f"mh{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    rows/band = num_hashes/bands; collision prob ≈ s^(rows) per band."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b*rows+r}") for r in range(rows)]).cast(
+                "binary"
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "bucket"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 56) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens.
+
+    Token hash = first 14 hex chars of md5 (56 bits — stays in positive
+    int64 in every engine). simhash bit b = majority of token-hash bit b.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 14), 16, 10).cast(
+        "long"
+    )
+    toks = toks.select(id_col, h.alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 56,
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by the top
+    ``bucket_bits`` so the self-join is linear in bucket sizes. (A full
+    Hamming-ball guarantee needs multi-table rotation; one-bucket probing
+    is the standard recall/cost tradeoff and is what we verify.)"""
+    sh = simhash(df, id_col, text_col, bits)
+    bucketed = sh.withColumn(
+        "bucket", F.shiftright(F.col("simhash"), bits - bucket_bits)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify stage after any
+    LSH): broadcast-safe join of shingle sets onto the (small) pair list."""
+    sets_df = df.select(
+        F.col(id_col), _word_shingles(text_col, shingle_n).alias("sh_set")
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh_set", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sh_set", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,146 @@
+"""The extraction operator: html bytes → extracted article, Arrow-batched.
+
+This is the Spark-side embodiment of the reference's whole per-document
+computation (SURVEY.md §2.5 "UDF surface"): parse (P1-P17), the 12-filter
+Article chain (F1-F12) and rendering (O1-O2) are fused into ONE
+``mapInArrow`` stage — one JVM↔Python round trip, no intermediate
+materialization, no per-row Python anywhere in the driver-visible plan.
+
+Scale notes (100 TB / 1000-executor design):
+- the kernel is a pure per-document function ⇒ embarrassingly parallel,
+  deterministic under any partitioning (N vs 4N executors byte-identical);
+- input is repartitioned on xxhash64(url) upstream (plans/extract_job.py)
+  to defuse host-level clustering in crawl order; AQE handles residual skew;
+- Arrow batches are *byte*-capped by the caller via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` plus the size-aware
+  re-chunking below, keeping Python-worker memory bounded even when single
+  documents are multi-MB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from ..kernel.document import extract_article
+
+# Sink schema — FIXTURES.md §4.
+OUTPUT_SCHEMA_DDL = (
+    "url string, title string, author string, date timestamp, "
+    "content string, n_blocks int, n_content_blocks int, parse_error string"
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("author", pa.string()),
+        pa.field("date", pa.timestamp("us", tz="UTC")),
+        pa.field("content", pa.string()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("n_content_blocks", pa.int32()),
+        pa.field("parse_error", pa.string()),
+    ]
+)
+
+# Cap the *decoded html bytes* we hold per output batch; documents vary
+# 1 KB..100 MB, so record-count caps alone do not bound memory.
+_MAX_BATCH_BYTES = 64 << 20
+
+
+def extract_record_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (url, html) batches → OUTPUT_SCHEMA batches."""
+    for batch in batches:
+        urls = batch.column("url")
+        htmls = batch.column("html")
+        n = batch.num_rows
+
+        out_url, out_title, out_author, out_date = [], [], [], []
+        out_content, out_nb, out_ncb, out_err = [], [], [], []
+        acc_bytes = 0
+
+        for i in range(n):
+            url = urls[i].as_py()
+            html = htmls[i].as_py()
+            title = author = content = None
+            date = None
+            n_blocks = n_content = 0
+            err = None
+            if html is None:
+                err = "html is null"
+            else:
+                try:
+                    doc = extract_article(html)
+                    title = doc.title
+                    author = doc.author
+                    if doc.date is not None:
+                        date = doc.date
+                    content = doc.content()
+                    n_blocks = len(doc.text_blocks)
+                    n_content = sum(1 for tb in doc.text_blocks if tb.is_content)
+                except Exception as e:  # never fail the task on one document
+                    err = f"{type(e).__name__}: {e}"
+                acc_bytes += len(html)
+
+            out_url.append(url)
+            out_title.append(title)
+            out_author.append(author)
+            out_date.append(date)
+            out_content.append(content)
+            out_nb.append(n_blocks)
+            out_ncb.append(n_content)
+            out_err.append(err)
+
+            if acc_bytes >= _MAX_BATCH_BYTES and i < n - 1:
+                yield _make_batch(
+                    out_url, out_title, out_author, out_date,
+                    out_content, out_nb, out_ncb, out_err,
+                )
+                out_url, out_title, out_author, out_date = [], [], [], []
+                out_content, out_nb, out_ncb, out_err = [], [], [], []
+                acc_bytes = 0
+
+        if out_url:
+            yield _make_batch(
+                out_url, out_title, out_author, out_date,
+                out_content, out_nb, out_ncb, out_err,
+            )
+
+
+def _make_batch(urls, titles, authors, dates, contents, nbs, ncbs, errs):
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(titles, pa.string()),
+            pa.array(authors, pa.string()),
+            pa.array(dates, pa.timestamp("us", tz="UTC")),
+            pa.array(contents, pa.string()),
+            pa.array(nbs, pa.int32()),
+            pa.array(ncbs, pa.int32()),
+            pa.array(errs, pa.string()),
+        ],
+        schema=_ARROW_SCHEMA,
+    )
+
+
+def extract_articles(df, parallelism: int | None = None, repartition: bool = True):
+    """Declare the extraction over a pages DataFrame.
+
+    ``df`` needs (url, html); extra columns are pruned here so Catalyst can
+    push column pruning into the scan (ReadSchema shows only url+html).
+    ``repartition=True`` shuffles on xxhash64(url) to defuse host-level
+    skew in crawl-ordered input; set False when the source is already
+    well-split (columnar, uniform) to avoid shuffling the full corpus.
+    """
+    from pyspark.sql import functions as F
+
+    pruned = df.select("url", "html")
+    if repartition:
+        if parallelism:
+            pruned = pruned.repartition(parallelism, F.xxhash64("url"))
+        else:
+            pruned = pruned.repartition(F.xxhash64("url"))
+    return pruned.mapInArrow(extract_record_batches, OUTPUT_SCHEMA_DDL)

@@ -1,0 +1,184 @@
+"""Spark-layer tests: extraction operator, chunked resumable job, and the
+training-data operators, on a shared local session."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_boilerpipe_spark.operators import dedup, similarity
+from go_boilerpipe_spark.operators.extract import extract_articles
+from go_boilerpipe_spark.operators.multimodal import decode_media
+from go_boilerpipe_spark.plans.extract_job import ExtractJob, read_extracted
+from go_boilerpipe_spark.sources.pages import (
+    golden_df,
+    synthesize_pages,
+    write_pages_table,
+)
+from go_boilerpipe_spark.spark_session import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(app_name="tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "pages")
+    write_pages_table(spark, path, 140, skew=True, null_html_every=35)
+    return path
+
+
+class TestExtractOperator:
+    def test_golden_parity_through_spark(self, spark, corpus):
+        pages = spark.read.parquet(corpus).filter(F.col("html").isNotNull())
+        extracted = extract_articles(pages, parallelism=16)
+        g = golden_df(spark)
+        base = extracted.withColumn(
+            "base_url", F.regexp_replace("url", r"[?&]rep=\d+$", "")
+        )
+        row = (
+            base.join(F.broadcast(g), base.base_url == g.url)
+            .agg(
+                F.avg((F.col("content") == F.col("exp_content")).cast("int")).alias("ok"),
+                F.avg((F.col("title") == F.col("exp_title")).cast("int")).alias("tok"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row["n"] == 136  # 140 - 4 nulls
+        assert row["ok"] == 1.0
+        assert row["tok"] == 1.0
+
+    def test_partitioning_invariance(self, spark, corpus):
+        pages = spark.read.parquet(corpus).filter(F.col("html").isNotNull())
+        checksum = lambda df: df.agg(  # noqa: E731
+            F.sum(
+                F.conv(F.substring(F.md5(F.col("content").cast("binary")), 1, 8), 16, 10)
+                .cast("long")
+            )
+        ).collect()[0][0]
+        a = checksum(extract_articles(pages, parallelism=3))
+        b = checksum(extract_articles(pages, parallelism=17))
+        c = checksum(extract_articles(pages, repartition=False))
+        assert a == b == c
+
+    def test_column_pruning_reaches_scan(self, spark, corpus):
+        pages = spark.read.parquet(corpus)
+        plan = extract_articles(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<url:string,html:binary>" in plan
+
+    def test_null_html_yields_error_row(self, spark):
+        pages = synthesize_pages(spark, 14, null_html_every=2, partitions=2)
+        out = extract_articles(pages, repartition=False)
+        errs = out.filter(F.col("parse_error").isNotNull()).count()
+        assert errs == 7
+
+
+class TestExtractJob:
+    def test_run_and_resume(self, spark, corpus, tmp_path):
+        sink = str(tmp_path / "sink")
+        job = ExtractJob(spark, corpus, sink, parallelism=8,
+                         chunk_target_bytes=1 << 19)
+        stats = job.run()
+        assert stats["chunks_done"] >= 2
+        assert stats["parse_errors"] == 0
+        res = read_extracted(spark, sink)
+        assert res.count() == 136
+        # resume: nothing to redo
+        stats2 = job.run()
+        assert stats2["chunks_done"] == 0
+        assert stats2["chunks_skipped"] == stats["chunks_total"]
+        # lineage written per partition per chunk
+        lineage = spark.read.parquet(os.path.join(sink, "_lineage"))
+        assert lineage.count() > 0
+        assert lineage.agg(F.sum("docs_out")).collect()[0][0] == 136
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again today"
+        )
+        rows = [
+            (0, base),
+            (1, base),  # exact dup of 0
+            (2, base.replace("today", "tomorrow")),  # near dup
+            (3, "completely different content about spark query engines ok"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact(self, docs):
+        out = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+        assert out[1]["is_duplicate"] and out[1]["keeper_id"] == 0
+        assert not out[0]["is_duplicate"]
+        assert not out[3]["is_duplicate"]
+
+    def test_minhash_lsh_finds_near_dup(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=8).collect()
+        }
+        assert (0, 1) in pairs  # identical docs always collide
+        assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides in ≥1 band
+        assert (0, 3) not in pairs
+
+    def test_simhash_identical_and_near(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert sh[0] == sh[1]
+        ham = bin(sh[0] ^ sh[2]).count("1")
+        assert 0 < ham <= 20
+        assert bin(sh[0] ^ sh[3]).count("1") > ham
+
+    def test_jaccard_verify(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=8)
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_verify_pairs(docs, pairs, threshold=0.5).collect()
+        }
+        assert out[(0, 1)] == 1.0
+        assert all(j >= 0.5 for j in out.values())
+
+
+class TestSimilarity:
+    def test_self_is_rank_one(self, spark):
+        import math
+
+        rows = [
+            (i, [math.sin(i * 7.0 + j) for j in range(8)]) for i in range(30)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = similarity.cosine_topk(emb, q, k=3).collect()
+        rank1 = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+        assert rank1 == {0: 0, 1: 1, 2: 2}
+
+    def test_lsh_bucket_recall_of_self(self, spark):
+        rows = [(i, [float(i + 1), float(-i - 1), 1.0, -1.0]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = similarity.cosine_topk_lsh(emb, q, k=1, h=4).collect()
+        assert {r["query_id"]: r["vec_id"] for r in top} == {i: i for i in range(10)}
+
+
+class TestMultimodal:
+    def test_decode_schema_and_determinism(self, spark):
+        rows = [(i, bytearray(f"payload-{i}".encode()), "image") for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, media_type string"
+        )
+        out = decode_media(df).collect()
+        assert len(out) == 6
+        byid = {r["doc_id"]: r for r in out}
+        assert byid[0]["width"] >= 64 and byid[0]["height"] >= 64
+        out2 = {r["doc_id"]: r for r in decode_media(df).collect()}
+        assert out2[3] == byid[3]
