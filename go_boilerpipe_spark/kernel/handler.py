@@ -58,10 +58,28 @@ _RE_VALID_WORD_CHARACTER = re.compile("[" + LETTER_CLASS + NUMERIC_WORD_CLASS + 
 
 
 def tokenize(text: str):
-    """content_handler.go:243-255 (UnicodeTokenizer port)."""
-    text = _RE_WORD_BOUNDARY.sub("⁣\\g<0>⁣", go_trim_space(text))
-    text = _RE_NOT_WORD_BOUNDARY.sub(r"\1", text)
-    text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
+    """content_handler.go:243-255 (UnicodeTokenizer port).
+
+    Implementation note: the three Go regex passes are kept semantically
+    but written without per-match Python callbacks — split/findall
+    interleave for the marker wrap, and ``''.join(split())`` for the
+    marker-stripping pass (re.split with a capturing group keeps the
+    punctuation chars, so the join IS the ``$1`` replacement)."""
+    text = go_trim_space(text)
+    pieces = _RE_WORD_BOUNDARY.split(text)
+    if len(pieces) > 1:
+        words = _RE_WORD_BOUNDARY.findall(text)
+        buf = [pieces[0]]
+        ap = buf.append
+        for w, p in zip(words, pieces[1:]):
+            ap("⁣")
+            ap(w)
+            ap("⁣")
+            ap(p)
+        text = "".join(buf)
+    if "⁣" in text:
+        text = "".join(_RE_NOT_WORD_BOUNDARY.split(text))
+        text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
     return _RE_SPACE.split(go_trim_space(text))
 
 

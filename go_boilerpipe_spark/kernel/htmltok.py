@@ -47,6 +47,25 @@ _RAW_TAGS = frozenset(
 _RCDATA_TAGS = frozenset(("textarea", "title"))
 
 _WS = " \n\r\t\f"
+import re as _re
+
+_TAG_WS_SPLIT = _re.compile("[ \n\r\t\f]+")
+
+# Whole-tag fast path: matches exactly the tags the per-char walk would
+# parse to the same end position (well-formed names/attrs). Anything the
+# pattern rejects falls back to the exact Go-semantics loop.
+_TAG_RE = _re.compile(
+    r"([a-zA-Z][^ \n\r\t\f/>]*)"
+    r"((?:[ \n\r\t\f]+[^ \n\r\t\f/>=]+"
+    r"(?:[ \n\r\t\f]*=[ \n\r\t\f]*"
+    r"(?:\"[^\"]*\"|'[^']*'|[^ \n\r\t\f>]*))?)*)"
+    r"[ \n\r\t\f]*/?>"
+)
+_ATTR_RE = _re.compile(
+    r"[ \n\r\t\f]+([^ \n\r\t\f/>=]+)"
+    r"(?:[ \n\r\t\f]*=[ \n\r\t\f]*"
+    r"(\"[^\"]*\"|'[^']*'|[^ \n\r\t\f>]*))?"
+)
 _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
 )
@@ -249,8 +268,24 @@ class Tokenizer:
 
     def _read_tag(self, i: int, save_attr: bool):
         """Parse a tag starting at the first name char. Returns
-        (name, attrs, end_pos, eof). end_pos is just past '>'."""
+        (name, attrs, end_pos, eof). end_pos is just past '>'.
+
+        Fast path: a single whole-tag regex match; the per-char walk (exact
+        x/net/html semantics) handles whatever the pattern rejects."""
         s, n = self.s, self.n
+        m = _TAG_RE.match(s, i)
+        if m is not None:
+            name = _lower(m.group(1))
+            attrs = None
+            if save_attr:
+                attrs = []
+                for k, v in _ATTR_RE.findall(m.group(2)):
+                    if v and (v[0] == '"' or v[0] == "'"):
+                        v = v[1:-1]
+                    attrs.append(
+                        (_lower(k), _html.unescape(_convert_newlines(v)))
+                    )
+            return name, attrs, m.end(), False
         name, i = self._read_tag_name(i)
         attrs = [] if save_attr else None
         i = self._skip_ws(i)

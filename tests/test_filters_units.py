@@ -1,0 +1,295 @@
+"""Per-filter unit tests on hand-built TextBlock arrays (FIXTURES.md §5),
+including the normative Go-port quirks."""
+
+from go_boilerpipe_spark.kernel import filters as flt
+from go_boilerpipe_spark.kernel.document import Document
+from go_boilerpipe_spark.kernel.textblock import (
+    HEADING,
+    INDICATES_END_OF_TEXT,
+    LIST,
+    MIGHT_BE_CONTENT,
+    TITLE,
+    VERY_LIKELY_CONTENT,
+    TextBlock,
+)
+
+
+def tb(text="x", words=0, linked=0, wrapped_words=None, lines=1, level=0,
+       content=False, labels=(), offset=0):
+    b = TextBlock()
+    b.text = text
+    b.num_words = words
+    b.num_linked_words = linked
+    b.num_words_in_wrapped_lines = wrapped_words if wrapped_words is not None else words
+    b.num_wrapped_lines = lines
+    b.tag_level = level
+    b.is_content = content
+    b.offset_blocks_start = offset
+    b.offset_blocks_end = offset
+    b.add_labels(labels)
+    return b
+
+
+def doc(*blocks, title=""):
+    d = Document()
+    d.text_blocks = list(blocks)
+    d.title = title
+    return d
+
+
+class TestTerminatingBlocks:
+    def test_phrases(self):
+        d = doc(
+            tb("Comments (12)", words=2),
+            tb("123 comments", words=2),
+            tb("© Reuters 2019", words=3),
+            tb("Real sentence with plenty of words here", words=7),
+        )
+        flt.terminating_blocks(d)
+        assert d.text_blocks[0].has_label(INDICATES_END_OF_TEXT)
+        assert d.text_blocks[1].has_label(INDICATES_END_OF_TEXT)
+        assert d.text_blocks[2].has_label(INDICATES_END_OF_TEXT)
+        assert not d.text_blocks[3].has_label(INDICATES_END_OF_TEXT)
+
+    def test_byte_length_gate(self):
+        # 3 CJK chars = 9 utf-8 bytes ≥ 8 → eligible even though len() < 8
+        d = doc(tb("评论评论", words=1))  # no phrase match anyway
+        flt.terminating_blocks(d)
+        assert not d.text_blocks[0].has_label(INDICATES_END_OF_TEXT)
+
+    def test_link_density_comment(self):
+        d = doc(tb("Comment", words=1, linked=1))
+        flt.terminating_blocks(d)
+        assert d.text_blocks[0].has_label(INDICATES_END_OF_TEXT)
+
+    def test_15_word_gate(self):
+        d = doc(tb("comments " * 20, words=20))
+        flt.terminating_blocks(d)
+        assert not d.text_blocks[0].has_label(INDICATES_END_OF_TEXT)
+
+
+class TestDocumentTitleMatch:
+    def test_exact_and_longest_part(self):
+        d = doc(
+            tb("Navigation", words=1),
+            tb("My Great Article", words=3),
+            title="My Great Article - Example News",
+        )
+        flt.document_title_match_classifier(d)
+        assert not d.text_blocks[0].has_label(TITLE)
+        assert d.text_blocks[1].has_label(TITLE)
+
+    def test_first_match_stops(self):
+        d = doc(tb("the title", words=2), tb("the title", words=2),
+                title="The Title")
+        flt.document_title_match_classifier(d)
+        assert d.text_blocks[0].has_label(TITLE)
+        assert not d.text_blocks[1].has_label(TITLE)
+
+    def test_dotcom_parts_skipped(self):
+        # ".com"-containing parts are never candidates (filter.go:250-252)
+        d = doc(tb("example.com", words=1), title="example.com | Short")
+        flt.document_title_match_classifier(d)
+        assert not d.text_blocks[0].has_label(TITLE)
+
+
+class TestNumWordsRules:
+    def test_link_density_kills(self):
+        d = doc(tb(words=50, linked=40), tb(words=50), tb(words=50))
+        flt.num_words_rules_classifier(d)
+        assert not d.text_blocks[0].is_content
+        assert d.text_blocks[1].is_content
+
+    def test_single_block_low_words(self):
+        d = doc(tb(words=10))
+        flt.num_words_rules_classifier(d)
+        assert not d.text_blocks[0].is_content  # prev empty ≤ 4 words
+
+    def test_prev_words_promote(self):
+        d = doc(tb(words=10), tb(words=10), tb(words=10))
+        flt.num_words_rules_classifier(d)
+        # middle block: prev 10 > 4 → content
+        assert d.text_blocks[1].is_content
+
+
+class TestIgnoreAfterContent:
+    def test_cut_after_eot(self):
+        d = doc(
+            tb(words=70, lines=1, content=True),  # density 70 ≥ 9 → counts
+            tb("comments", words=1, labels=(INDICATES_END_OF_TEXT,), content=True),
+            tb(words=100, content=True),
+        )
+        flt.ignore_blocks_after_content(d)
+        assert d.text_blocks[0].is_content
+        assert not d.text_blocks[1].is_content
+        assert not d.text_blocks[2].is_content
+
+    def test_min_words_gate(self):
+        d = doc(
+            tb(words=10, content=True),
+            tb("comments", words=1, labels=(INDICATES_END_OF_TEXT,)),
+            tb(words=100, content=True),
+        )
+        flt.ignore_blocks_after_content(d)
+        assert d.text_blocks[2].is_content  # sum 10 < 60 → no cut
+
+
+class TestBlockProximityFusion:
+    def test_distance_from_own_offsets_quirk(self):
+        # merged blocks have start<end → diff negative → still merges
+        a = tb("a", words=5, content=True, offset=0)
+        b = tb("b", words=5, content=True, offset=5)  # far by Java semantics
+        d = doc(a, b)
+        flt.block_proximity_fusion(d, 1, False, False)
+        assert len(d.text_blocks) == 1
+        assert d.text_blocks[0].text == "a\nb"
+        assert d.text_blocks[0].num_words == 10
+
+    def test_same_tag_level_only(self):
+        a = tb("a", words=5, content=True, level=1)
+        b = tb("b", words=5, content=True, level=2)
+        d = doc(a, b)
+        flt.block_proximity_fusion(d, 1, True, True)
+        assert len(d.text_blocks) == 2
+
+    def test_content_only_skips_leading_boiler(self):
+        a = tb("nav", words=2, content=False)
+        b = tb("x", words=5, content=True)
+        c = tb("y", words=5, content=True)
+        d = doc(a, b, c)
+        flt.block_proximity_fusion(d, 1, True, True)
+        assert len(d.text_blocks) == 2
+        assert d.text_blocks[1].text == "x\ny"
+
+    def test_merge_min_tag_level(self):
+        a = tb("a", words=5, content=True, level=7)
+        b = tb("b", words=5, content=True, level=2)
+        d = doc(a, b)
+        flt.block_proximity_fusion(d, 1, False, False)
+        assert d.text_blocks[0].tag_level == 2
+
+
+class TestBoilerplateBlock:
+    def test_keeps_content_and_title(self):
+        d = doc(
+            tb("t", labels=(TITLE,)),
+            tb("c", content=True),
+            tb("junk"),
+        )
+        flt.boilerplate_block(d)
+        assert [b.text for b in d.text_blocks] == ["t", "c"]
+
+
+class TestKeepLargestBlocks:
+    def test_percent_thresholds(self):
+        # max ≥ 1000 → keep content blocks ≥ 25%
+        d = doc(
+            tb("big", words=1200, content=True),
+            tb("mid", words=320, content=True),
+            tb("small", words=100, content=True),
+        )
+        flt.keep_largest_blocks(d)
+        assert d.text_blocks[0].is_content
+        assert d.text_blocks[1].is_content  # 320 ≥ 0.25*1200=300
+        assert not d.text_blocks[2].is_content
+
+    def test_exact_max_only_below_500(self):
+        # different tag level so the ≥150-word same-level expansion
+        # (filter.go:474-501) doesn't re-promote the runner-up
+        d = doc(tb(words=300, content=True, level=2),
+                tb(words=299, content=True, level=3))
+        flt.keep_largest_blocks(d)
+        assert d.text_blocks[0].is_content
+        assert not d.text_blocks[1].is_content
+
+    def test_expand_same_level_150_words(self):
+        d = doc(
+            tb("pre", words=160, level=3),
+            tb("big", words=400, content=True, level=3),
+        )
+        flt.keep_largest_blocks(d)
+        assert d.text_blocks[0].is_content  # 160 ≥ 150 at same level
+
+
+class TestExpandTitleToContent:
+    def test_prefix_indexing_quirk(self):
+        # title at index 2, content starts at 4 → loop promotes indices 0..1
+        blocks = [
+            tb("b0", labels=(MIGHT_BE_CONTENT,)),
+            tb("b1", labels=(MIGHT_BE_CONTENT,)),
+            tb("ttl", labels=(TITLE, MIGHT_BE_CONTENT)),
+            tb("b3", labels=(MIGHT_BE_CONTENT,)),
+            tb("c", content=True),
+        ]
+        d = doc(*blocks)
+        assert flt.expand_title_to_content(d)
+        assert d.text_blocks[0].is_content  # quirk: prefix promoted
+        assert d.text_blocks[1].is_content
+        assert not d.text_blocks[2].is_content  # title itself NOT promoted
+        assert not d.text_blocks[3].is_content
+
+
+class TestLargeBlockSameTagLevel:
+    def test_promotes_100_words_at_level(self):
+        d = doc(
+            tb("vl", words=50, content=True, level=4,
+               labels=(VERY_LIKELY_CONTENT,)),
+            tb("big", words=120, level=4),
+            tb("other", words=120, level=5),
+        )
+        flt.large_block_same_tag_level_to_content(d)
+        assert d.text_blocks[1].is_content
+        assert not d.text_blocks[2].is_content
+
+
+class TestListAtEnd:
+    def test_promotes_deeper_lists(self):
+        d = doc(
+            tb("vl", words=200, content=True, level=2,
+               labels=(VERY_LIKELY_CONTENT,)),
+            tb("li1", words=3, level=4, labels=(MIGHT_BE_CONTENT, LIST)),
+            tb("li2", words=3, level=4, labels=(MIGHT_BE_CONTENT, LIST)),
+        )
+        flt.list_at_end(d)
+        assert d.text_blocks[1].is_content
+        assert d.text_blocks[2].is_content
+
+    def test_linked_list_not_promoted(self):
+        d = doc(
+            tb("vl", words=200, content=True, level=2,
+               labels=(VERY_LIKELY_CONTENT,)),
+            tb("li", words=3, linked=3, level=4,
+               labels=(MIGHT_BE_CONTENT, LIST)),
+        )
+        flt.list_at_end(d)
+        assert not d.text_blocks[1].is_content
+
+
+class TestTrailingHeadline:
+    def test_strips_trailing_headings(self):
+        d = doc(
+            tb("body", words=50, content=True),
+            tb("h", words=3, content=True, labels=(HEADING,)),
+        )
+        flt.trailing_headline_to_boilerplate(d)
+        assert d.text_blocks[0].is_content
+        assert not d.text_blocks[1].is_content
+
+    def test_stops_at_non_heading(self):
+        d = doc(
+            tb("h", words=3, content=True, labels=(HEADING,)),
+            tb("body", words=50, content=True),
+        )
+        flt.trailing_headline_to_boilerplate(d)
+        assert d.text_blocks[0].is_content  # scan stopped at body
+
+
+class TestKeepLargestFulltext:
+    def test_only_fulltext_counts(self):
+        d = doc(
+            tb(words=50, wrapped_words=50, lines=10, content=True),   # density 5 → 0
+            tb(words=30, wrapped_words=30, lines=3, content=True),    # density 10 → 30
+        )
+        flt.keep_largest_fulltext_block(d)
+        assert not d.text_blocks[0].is_content
+        assert d.text_blocks[1].is_content
