@@ -332,6 +332,36 @@ def _q_ann_lsh(spark, sf):
     return similarity.cosine_topk_lsh(e, q, k=10, h=8)
 
 
+def _q_dedup_embedding(spark, sf):
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3
+    )
+
+
+def _q_winnow(spark, sf):
+    return dedup.winnow_fingerprint(_t(spark, sf, "documents"))
+
+
+def _q_ann_ivf(spark, sf):
+    e, q = _queries_emb(spark, sf)
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id").between(5, 8))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return similarity.cosine_topk_ivf(e, q, cents, k=10)
+
+
+def _q_lang_confusion(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", textstats.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_multimodal(spark, sf):
     d = _t(spark, sf, "documents").select(
         "doc_id",
@@ -391,6 +421,10 @@ _RAW_QUERIES = {
         "fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_brute,
         "ann_cosine_lsh": _q_ann_lsh,
+        "dedup_embedding": _q_dedup_embedding,
+        "fingerprint_winnow": _q_winnow,
+        "ann_cosine_ivf": _q_ann_ivf,
+        "lang_confusion": _q_lang_confusion,
         "multimodal_decode": _q_multimodal,
         "extract_golden": _q_extract_golden,
     }
@@ -489,6 +523,23 @@ WITH q AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
+
+def _cos_expr_sql(a: str, b: str) -> str:
+    """SQL twin of similarity._cosine: left-to-right double accumulation."""
+    dot = (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))])"
+    )
+    na = (
+        f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))]))"
+    )
+    nb = (
+        f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, len({b}))]))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
 
 _BUCKET_SQL = (
     "list_sum([CASE WHEN {v}[i+1] > 0 THEN 2**i ELSE 0 END "
@@ -672,6 +723,70 @@ def oracle_sql() -> dict[str, str]:
             cond="ON " + _BUCKET_SQL.format(v="e.embedding")
             + " = " + _BUCKET_SQL.format(v="q.qv"),
         ),
+        "dedup_embedding": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_BUCKET_SQL.format(v="embedding")} AS bucket
+              FROM embeddings
+            )
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+              round({_cos_expr_sql("l.embedding", "r.embedding")}, 5) AS cosine
+            FROM b l JOIN b r
+              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE round({_cos_expr_sql("l.embedding", "r.embedding")}, 5) >= 0.3
+        """,
+        "fingerprint_winnow": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                [md5(array_to_string(toks[i:i+2], ' '))
+                 FOR i IN generate_series(1, greatest(len(toks)-2, 1))] AS hs
+              FROM t
+            ), mins AS (
+              SELECT doc_id,
+                [list_min(hs[i:i+3])
+                 FOR i IN generate_series(1, greatest(len(hs)-3, 1))] AS ms
+              FROM sh
+            )
+            SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(ms)), '|')) AS winnow_fp
+            FROM mins
+        """,
+        "ann_cosine_ivf": f"""
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id BETWEEN 5 AND 8
+            ), ea AS (
+              SELECT vec_id, embedding, cid AS ivf_cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY {_cos_expr_sql("e.embedding", "c.cv")} DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+              ) WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, embedding AS qv, ivf_cell
+              FROM ea WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                round({_cos_expr_sql("e.embedding", "q.qv")}, 5) AS cosine
+              FROM ea e JOIN q ON e.ivf_cell = q.ivf_cell
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+        """,
+        "lang_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang, p.pred_lang, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.pred_lang
+        """,
         "multimodal_decode": """
             SELECT doc_id,
               CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -43,6 +43,20 @@ class Document:
             return self.linked_data.body
         return self.text(True, False)
 
+    def has_title(self) -> bool:
+        """Reference bug kept for parity: despite the name, this reports
+        whether the *date* is non-zero (boilerpipe.go:83-86)."""
+        return self.date is not None
+
+    def to_json_dict(self) -> dict:
+        """CLI JSON document shape (cmd/boilerpipe/extract.go:147-161)."""
+        return {
+            "title": self.title,
+            "author": self.author,
+            "date": self.date.isoformat() if self.date is not None else None,
+            "content": self.content(),
+        }
+
 
 # Go html.EscapeString (boilerpipe.go:105): exactly these five, single pass.
 _GO_ESCAPE = str.maketrans(

@@ -38,9 +38,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _word_shingles(text_col: str, n: int):
-    """Distinct n-word shingles as an array column (built-ins only)."""
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+def _stage_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project the token array once; downstream shingle expressions
+    reference it many times and must not re-evaluate the split per
+    element (O(n²) otherwise)."""
+    return df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
+    )
+
+
+def _word_shingles(n: int, toks_col: str = "_toks"):
+    """Distinct n-word shingles from a staged token-array column."""
+    toks = F.col(toks_col)
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
@@ -58,8 +68,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
     md5(s || shingle) (lexicographic min of hex = a valid min-hash)."""
-    sh = df.select(
-        F.col(id_col), F.explode(_word_shingles(text_col, shingle_n)).alias("sh")
+    sh = _stage_tokens(df, id_col, text_col).select(
+        F.col(id_col), F.explode(_word_shingles(shingle_n)).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("sh")).cast("binary"))).alias(
@@ -173,6 +183,75 @@ def simhash_near_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    h: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: sign-LSH bucket the vectors (the
+    same axis-projection LSH the similarity module uses), join within
+    buckets only, keep pairs with cosine ≥ threshold. Near-identical
+    vectors share sign patterns, so recall at ≥0.95 cosine is high while
+    the join never goes quadratic."""
+    from .similarity import _cosine, sign_lsh_bucket
+
+    b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), h).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(_cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 5).alias(
+            "cosine"
+        ),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al.): rolling k-gram
+    hashes, keep the minimum of each sliding window, fingerprint = md5 of
+    the sorted distinct minima. Stable under small local edits; one
+    map-side pass, no shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    cnt = F.size(toks)
+    n_sh = F.greatest(cnt - shingle_n + 1, F.lit(1))
+    sh_idx = F.sequence(F.lit(0), n_sh - 1)
+    shingle_hash = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice(toks, i + 1, shingle_n), " ").cast("binary")
+    )
+    # materialize the hash array in its own projection: the window-min pass
+    # references it O(n) times, and inlining it there would re-evaluate all
+    # shingle md5s per window (O(n²) blowup)
+    staged = df.select(
+        F.col(id_col), F.transform(sh_idx, shingle_hash).alias("_hs")
+    )
+    hashes = F.col("_hs")
+    n_win = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    win_idx = F.sequence(F.lit(0), n_win - 1)
+    minima = F.transform(
+        win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, window))
+    )
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(minima)), "|").cast("binary")
+    )
+    return staged.select(F.col(id_col), fp.alias("winnow_fp"))
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -183,8 +262,8 @@ def jaccard_verify_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify stage after any
     LSH): broadcast-safe join of shingle sets onto the (small) pair list."""
-    sets_df = df.select(
-        F.col(id_col), _word_shingles(text_col, shingle_n).alias("sh_set")
+    sets_df = _stage_tokens(df, id_col, text_col).select(
+        F.col(id_col), _word_shingles(shingle_n).alias("sh_set")
     )
     j = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a")

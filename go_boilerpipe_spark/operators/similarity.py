@@ -71,6 +71,53 @@ def sign_lsh_bucket(vec, h: int = 8):
     return bucket
 
 
+def ivf_assign(centroids, vec_col: str = "embedding"):
+    """Assign each vector to its max-cosine centroid (first-max-wins over
+    the ordered centroid list — deterministic, SQL-twin-able).
+
+    ``centroids`` is a list of (centroid_id, vector) pairs, small enough to
+    inline as literals (the IVF coarse quantizer). At production scale the
+    centroids come from a sampled k-means; the assignment/probe plan shape
+    is identical."""
+    best_id = F.lit(centroids[0][0])
+    best_cos = _cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in centroids[0][1]]))
+    for cid, cvec in centroids[1:]:
+        cos = _cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+        better = cos > best_cos
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_cos = F.when(better, cos).otherwise(best_cos)
+    return best_id
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors bucketed by coarse centroid; each
+    query probes only its own centroid's inverted list. nprobe=1 here;
+    multi-probe = union over the top-p centroids, same plan shape."""
+    e = emb.withColumn("ivf_cell", ivf_assign(centroids, vec_col))
+    q = queries.withColumn("ivf_cell", ivf_assign(centroids, query_vec_col))
+    joined = e.join(F.broadcast(q), "ivf_cell")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

@@ -169,3 +169,18 @@ class TestParserQuirks:
             "<p>text here</p></body>"
         )
         assert (doc.date.year, doc.date.hour) == (2020, 3)
+
+
+class TestDocumentApi:
+    def test_has_title_is_date_bug(self):
+        # boilerpipe.go:83-86 — HasTitle reports date-non-zero (kept bug)
+        doc = extract_article(
+            '<body><time datetime="2020-01-02T03:04:05Z">x</time>'
+            "<p>text here</p></body>"
+        )
+        assert doc.has_title() is True
+        assert extract_article("<body><p>t</p></body>").has_title() is False
+
+    def test_to_json_dict_shape(self):
+        d = extract_article("<body><p>hello</p></body>").to_json_dict()
+        assert set(d) == {"title", "author", "date", "content"}
