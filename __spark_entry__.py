@@ -362,6 +362,24 @@ def _q_lang_confusion(spark, sf):
     )
 
 
+def _q_quality_filter(spark, sf):
+    # the C4/Gopher-style corpus gate: keep docs passing all quality checks
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang",
+                    textstats.quality_score(F.col("text")).alias("q")) \
+        .filter(F.col("q") >= 0.7).select("doc_id", "lang", "q")
+
+
+def _q_dedup_keep(spark, sf):
+    # canonical-keep composition: drop exact duplicates, return survivors
+    d = _t(spark, sf, "documents")
+    flags = dedup.exact_dedup(d)
+    return (
+        d.join(flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def _q_multimodal(spark, sf):
     d = _t(spark, sf, "documents").select(
         "doc_id",
@@ -425,6 +443,8 @@ _RAW_QUERIES = {
         "fingerprint_winnow": _q_winnow,
         "ann_cosine_ivf": _q_ann_ivf,
         "lang_confusion": _q_lang_confusion,
+        "quality_filter": _q_quality_filter,
+        "dedup_keep": _q_dedup_keep,
         "multimodal_decode": _q_multimodal,
         "extract_golden": _q_extract_golden,
     }
@@ -786,6 +806,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.pred_lang, count(*) AS n
             FROM documents d JOIN pred p USING (doc_id)
             GROUP BY d.lang, p.pred_lang
+        """,
+        "quality_filter": f"""
+            WITH base AS (
+              SELECT doc_id, lang, length(text) AS nc,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+                length(text) - length(regexp_replace(text,
+                  '[\\.,;:!\\?\\-''"()]', '', 'g')) AS np,
+                {_marker_sql("text", textstats.LANG_MARKERS["en"])} AS ns
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, lang, round(
+                (CASE WHEN toks BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+                (CASE WHEN round(np / greatest(nc, 1), 6)
+                      BETWEEN 0.001 AND 0.3 THEN 0.3 ELSE 0.0 END) +
+                (CASE WHEN round(ns / greatest(toks, 1), 6) >= 0.01
+                      THEN 0.3 ELSE 0.0 END), 6) AS q
+              FROM base
+            )
+            SELECT doc_id, lang, q FROM scored WHERE q >= 0.7
+        """,
+        "dedup_keep": """
+            WITH flags AS (
+              SELECT doc_id,
+                doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+                  AS is_duplicate
+              FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+            WHERE NOT f.is_duplicate
         """,
         "multimodal_decode": """
             SELECT doc_id,
