@@ -353,6 +353,47 @@ def _q_ann_ivf(spark, sf):
     return similarity.cosine_topk_ivf(e, q, cents, k=10)
 
 
+def _q_events_salted(spark, sf):
+    # aggregation-skew defuse: salted two-phase agg over a low-cardinality
+    # key; results exactly equal the naive groupBy (the oracle)
+    from go_boilerpipe_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value").cast("decimal(18,2)")),
+            "max_value": ("max", F.col("value")),
+        },
+        n_salts=16,
+    ).withColumn("total_value", F.col("total_value").cast("double"))
+
+
+def _q_ann_recall(spark, sf):
+    # recall@10 of multi-probe sign-LSH vs exact brute force, per query
+    e, q = _queries_emb(spark, sf)
+    truth = similarity.cosine_topk(e, q, k=10).select(
+        "query_id", F.col("vec_id").alias("tv")
+    )
+    probe = similarity.cosine_topk_lsh_multiprobe(e, q, k=10, h=8).select(
+        "query_id", F.col("vec_id").alias("pv")
+    )
+    hits = truth.join(
+        probe,
+        (truth.query_id == probe.query_id) & (F.col("tv") == F.col("pv")),
+    ).groupBy(truth.query_id).agg(F.count("*").alias("h"))
+    return (
+        truth.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 2).alias("recall_at_10"),
+        )
+    )
+
+
 def _q_lang_confusion(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -443,6 +484,8 @@ _RAW_QUERIES = {
         "fingerprint_winnow": _q_winnow,
         "ann_cosine_ivf": _q_ann_ivf,
         "lang_confusion": _q_lang_confusion,
+        "events_by_type_salted": _q_events_salted,
+        "ann_recall": _q_ann_recall,
         "quality_filter": _q_quality_filter,
         "dedup_keep": _q_dedup_keep,
         "multimodal_decode": _q_multimodal,
@@ -807,6 +850,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN pred p USING (doc_id)
             GROUP BY d.lang, p.pred_lang
         """,
+        "events_by_type_salted": """
+            SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+              max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "ann_recall": _COS_SQL.format(join="CROSS JOIN", cond="").replace(
+            "SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10",
+            """, truth AS (
+              SELECT query_id, vec_id FROM ranked WHERE rank <= 10
+            ), qb AS (
+              SELECT query_id, qv,
+                unnest([CAST({b} AS BIGINT)] ||
+                       [xor(CAST({b} AS BIGINT), CAST(2**i AS BIGINT))
+                        FOR i IN generate_series(0, 7)]) AS bucket
+              FROM q
+            ), eb AS (
+              SELECT vec_id, embedding, CAST({be} AS BIGINT) AS bucket
+              FROM embeddings
+            ), pscored AS (
+              SELECT DISTINCT qb.query_id, eb.vec_id,
+                round({cs}, 5) AS cosine
+              FROM eb JOIN qb ON eb.bucket = qb.bucket
+            ), pranked AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM pscored
+            ), probe AS (
+              SELECT query_id, vec_id FROM pranked WHERE rank <= 10
+            ), hits AS (
+              SELECT t.query_id, count(*) AS h
+              FROM truth t JOIN probe p
+                ON t.query_id = p.query_id AND t.vec_id = p.vec_id
+              GROUP BY t.query_id
+            )
+            SELECT q2.query_id,
+              round(coalesce(h.h, 0) / 10.0, 2) AS recall_at_10
+            FROM (SELECT DISTINCT query_id FROM truth) q2
+            LEFT JOIN hits h ON q2.query_id = h.query_id"""
+            .replace("{b}", _BUCKET_SQL.format(v="qv"))
+            .replace("{be}", _BUCKET_SQL.format(v="embedding"))
+            .replace("{cs}", _cos_expr_sql("eb.embedding", "qb.qv")),
+        ),
         "quality_filter": f"""
             WITH base AS (
               SELECT doc_id, lang, length(text) AS nc,

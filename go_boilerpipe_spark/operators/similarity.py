@@ -118,6 +118,43 @@ def cosine_topk_ivf(
     )
 
 
+def sign_lsh_buckets_multiprobe(vec, h: int = 8):
+    """The base bucket plus its h one-bit-flip perturbations (multi-probe:
+    the standard recall/cost knob for sign LSH)."""
+    base = sign_lsh_bucket(vec, h)
+    return F.array(base, *[base.bitwiseXOR(F.lit(2 ** i)) for i in range(h)])
+
+
+def cosine_topk_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    h: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Sign-LSH ANN probing the query's bucket and all 1-bit neighbors."""
+    e = emb.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), h))
+    q = queries.withColumn(
+        "bucket",
+        F.explode(sign_lsh_buckets_multiprobe(F.col(query_vec_col), h)),
+    )
+    joined = e.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

@@ -31,18 +31,12 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_articles
+from ..sources.catalog import ParquetCatalog, get_catalog
 
 
 def list_input_files(spark, path: str):
     """Stable, sorted data-file list for deterministic chunking."""
-    jvm_files = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith("_") and not f.startswith("."):
-                p = os.path.join(root, f)
-                jvm_files.append((p, os.path.getsize(p)))
-    jvm_files.sort()
-    return jvm_files
+    return ParquetCatalog(spark).list_data_files(path)
 
 
 def plan_chunks(files, target_bytes: int):
@@ -69,8 +63,10 @@ class ExtractJob:
         chunk_target_bytes: int = 1 << 30,
         repartition: bool = True,
         langs: tuple[str, ...] | None = None,
+        catalog=None,
     ):
         self.spark = spark
+        self.catalog = catalog or get_catalog(spark)
         self.source = source
         self.sink = sink
         self.parallelism = parallelism
@@ -104,7 +100,7 @@ class ExtractJob:
 
     def run(self, run_id: str | None = None) -> dict:
         run_id = run_id or uuid.uuid4().hex[:12]
-        files = list_input_files(self.spark, self.source)
+        files = self.catalog.list_data_files(self.source)
         chunks = plan_chunks(files, self.chunk_target_bytes)
         done = self._completed_chunks()
 
@@ -142,8 +138,9 @@ class ExtractJob:
         ).withColumn("part_id", F.spark_partition_id())
 
         out_dir = os.path.join(self.sink, f"chunk={chunk_id}")
-        # overwrite → idempotent re-run of a failed/partial chunk
-        extracted.write.mode("overwrite").parquet(out_dir)
+        # overwrite → idempotent re-run of a failed/partial chunk (on
+        # Iceberg: one transaction via overwritePartitions)
+        self.catalog.overwrite_partition(extracted, self.sink, f"chunk={chunk_id}")
 
         # lineage: per-partition counters from the written chunk (cheap
         # column-pruned aggregate over the chunk we just wrote).
@@ -161,7 +158,7 @@ class ExtractJob:
                 "committed_at": F.current_timestamp(),
             }
         )
-        lineage.write.mode("append").parquet(self.lineage_dir)
+        self.catalog.append(lineage, self.lineage_dir)
 
         agg = res.agg(
             F.count("*").alias("docs_out"),
