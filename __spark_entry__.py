@@ -255,7 +255,11 @@ def _q_url_dates(spark, sf):
         F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
         F.lit("/page"),
     )
-    return d.select("doc_id", urls.url_date(u).alias("url_date"))
+    # string output: date-type pandas representations differ across
+    # engines (datetime64 vs date objects); ISO strings compare exactly
+    return d.select(
+        "doc_id", urls.url_date(u).cast("string").alias("url_date")
+    )
 
 
 def _q_dedup_exact(spark, sf):
@@ -709,7 +713,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               CAST(make_date(2000 + CAST(doc_id % 26 AS INT),
                              CAST(doc_id % 12 + 1 AS INT),
-                             CAST(doc_id % 28 + 1 AS INT)) AS DATE) AS url_date
+                             CAST(doc_id % 28 + 1 AS INT)) AS VARCHAR) AS url_date
             FROM documents
         """,
         "dedup_exact": """

@@ -47,9 +47,8 @@ _RAW_TAGS = frozenset(
 _RCDATA_TAGS = frozenset(("textarea", "title"))
 
 _WS = " \n\r\t\f"
-import re as _re
+import re as _re  # tag fast-path patterns
 
-_TAG_WS_SPLIT = _re.compile("[ \n\r\t\f]+")
 
 # Whole-tag fast path: matches exactly the tags the per-char walk would
 # parse to the same end position (well-formed names/attrs). Anything the
