@@ -1,0 +1,104 @@
+"""Watermarked windowed aggregation + manifest failure-injection tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_boilerpipe_spark.plans.extract_job import ExtractJob, read_extracted
+from go_boilerpipe_spark.sources.pages import write_pages_table
+from go_boilerpipe_spark.spark_session import build_session
+from go_boilerpipe_spark.streaming.extract_stream import PAGES_SCHEMA
+from go_boilerpipe_spark.streaming.windows import windowed_counts
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(app_name="win-tests", master="local[4]",
+                      shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def test_watermarked_window_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    write_pages_table(spark, src, 70, partitions=4)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        windowed_counts(stream, window_len="1 hour", late="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")  # append requires the watermark: state bound
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=180)
+
+    got = spark.sql(
+        "SELECT win_start, lang, n_docs FROM win_counts"
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.window(F.col("warc_ts").cast("timestamp"), "1 hour"), "lang"
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("window.start").alias("win_start"), "lang", "n_docs")
+    )
+    # watermark append-mode emits only windows the watermark closed; with
+    # AvailableNow + bounded input that's all but the newest window(s)
+    g = {(r[0], r[1]): r[2] for r in got.collect()}
+    b = {(r[0], r[1]): r[2] for r in batch.collect()}
+    assert g, "no closed windows emitted"
+    assert all(b[k] == v for k, v in g.items())
+
+
+class TestManifestEdges:
+    def test_changed_files_invalidate_chunk(self, spark, tmp_path):
+        src = str(tmp_path / "pages")
+        sink = str(tmp_path / "sink")
+        write_pages_table(spark, src, 14, partitions=2)
+        job = ExtractJob(spark, src, sink, parallelism=4,
+                         chunk_target_bytes=1 << 40)  # one chunk
+        s1 = job.run()
+        assert s1["chunks_done"] == 1
+
+        # tamper with the manifest's file list → chunk must re-run
+        mf = os.path.join(sink, "_manifest", "000000.json")
+        e = json.load(open(mf))
+        e["files"] = e["files"][:-1]
+        json.dump(e, open(mf, "w"))
+        s2 = job.run()
+        assert s2["chunks_done"] == 1
+        assert s2["chunks_skipped"] == 0
+        # output remains exactly one copy (overwrite semantics)
+        assert read_extracted(spark, sink).count() == 14
+
+    def test_partial_failure_leaves_chunk_uncommitted(self, spark, tmp_path):
+        src = str(tmp_path / "pages")
+        sink = str(tmp_path / "sink")
+        write_pages_table(spark, src, 14, partitions=2)
+        job = ExtractJob(spark, src, sink, parallelism=4,
+                         chunk_target_bytes=1 << 40)
+
+        # inject a failure between data write and manifest commit
+        orig = job._commit_chunk
+        calls = {"n": 0}
+
+        def boom(entry):
+            calls["n"] += 1
+            raise RuntimeError("crash before manifest commit")
+
+        job._commit_chunk = boom
+        with pytest.raises(RuntimeError):
+            job.run()
+        assert calls["n"] == 1
+
+        # recovery: a plain re-run redoes the chunk idempotently
+        job._commit_chunk = orig
+        s = job.run()
+        assert s["chunks_done"] == 1
+        assert read_extracted(spark, sink).count() == 14
