@@ -262,6 +262,19 @@ def _q_url_dates(spark, sf):
     )
 
 
+def _q_url_keep_query(spark, sf):
+    # U1 with KeepQuery=true: tracking keys stripped, survivors key-sorted
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.lit("https://h.com/p?utm_source=news&q="),
+        F.col("doc_id"),
+        F.lit("&utm_medium=email&zz=2#frag"),
+    )
+    return d.select(
+        "doc_id", urls.strip_tracking_params(u).alias("kept_url")
+    )
+
+
 def _q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -474,6 +487,7 @@ _RAW_QUERIES = {
         "url_normalize": _q_url_normalize,
         "url_root": _q_url_root,
         "url_dates": _q_url_dates,
+        "url_keep_query": _q_url_keep_query,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -715,6 +729,29 @@ def oracle_sql() -> dict[str, str]:
                              CAST(doc_id % 12 + 1 AS INT),
                              CAST(doc_id % 28 + 1 AS INT)) AS VARCHAR) AS url_date
             FROM documents
+        """,
+        "url_keep_query": """
+            WITH u AS (
+              SELECT doc_id,
+                'https://h.com/p?utm_source=news&q=' || doc_id ||
+                '&utm_medium=email&zz=2#frag' AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                regexp_replace(url, '[?#].*$', '') AS base,
+                list_sort([p FOR p IN
+                  string_split(regexp_replace(
+                    regexp_replace(url, '#.*$', ''), '^[^?]*\\?', ''), '&')
+                  IF p != '' AND NOT list_contains(
+                    ['email_subscriber','utm_campaign','utm_medium',
+                     'utm_source'], string_split(p, '=')[1])]) AS kept
+              FROM u
+            )
+            SELECT doc_id,
+              CASE WHEN len(kept) = 0 THEN base
+                   ELSE base || '?' || array_to_string(kept, '&') END
+                AS kept_url
+            FROM parts
         """,
         "dedup_exact": """
             SELECT doc_id, md5(text) AS text_hash,

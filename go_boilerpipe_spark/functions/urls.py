@@ -36,6 +36,31 @@ def normalize_url(url: Column) -> Column:
     return F.lower(u)
 
 
+DEFAULT_QUERY_KEY_BLACKLIST = (
+    "email_subscriber", "utm_campaign", "utm_medium", "utm_source",
+)
+
+
+def strip_tracking_params(url: Column, blacklist=DEFAULT_QUERY_KEY_BLACKLIST) -> Column:
+    """U1 with KeepQuery=true: drop blacklisted query keys
+    (normurl/normurl.go:60-65,86-92), keep the rest sorted by key
+    (url.Values.Encode() sorts). Fragment is stripped like the default
+    path. Pure Catalyst: split → filter → sort → re-join."""
+    base = F.regexp_replace(url, "[?#].*$", "")
+    frag_stripped = F.regexp_replace(url, "#.*$", "")
+    qs = F.when(
+        frag_stripped.contains("?"),
+        F.regexp_replace(frag_stripped, "^[^?]*\\?", ""),
+    ).otherwise(F.lit(""))
+    pairs = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~F.split(p, "=")[0].isin(*blacklist),
+    )
+    kept = F.array_join(F.array_sort(pairs), "&")
+    return F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))
+
+
 def url_hostname(url: Column) -> Column:
     """U3: host without port."""
     host = F.parse_url(with_default_scheme(url), F.lit("HOST"))
