@@ -68,10 +68,15 @@ def go_escape_string(s: str) -> str:
     return s.translate(_GO_ESCAPE)
 
 
+_ATTR_TAGS = frozenset(("script", "time"))
+
+
 def parse_to_handler(html: str) -> ContentHandler:
     """The parse() event loop — boilerpipe.go:108-158."""
     h = ContentHandler()
-    z = htmltok.Tokenizer(html)
+    # attrs are only ever read on <script type=...> and <time datetime=...>
+    # (boilerpipe.go:136-142, content_handler.go:103-113)
+    z = htmltok.Tokenizer(html, attr_tags=_ATTR_TAGS)
     TEXT = htmltok.TEXT
     START = htmltok.START_TAG
     END = htmltok.END_TAG

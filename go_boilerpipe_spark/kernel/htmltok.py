@@ -93,13 +93,18 @@ class Tokenizer:
     ``attrs`` is a list of ``(key, value)`` for START_TAG/SELF_CLOSING.
     """
 
-    __slots__ = ("s", "n", "i", "raw_tag")
+    __slots__ = ("s", "n", "i", "raw_tag", "attr_tags")
 
-    def __init__(self, s: str):
+    def __init__(self, s: str, attr_tags=None):
+        """``attr_tags``: when given, attribute extraction runs only for
+        those tag names (the boilerpipe parse loop reads attrs solely on
+        <script> and <time> — skipping the rest removes most per-tag
+        unescape work). None = extract for every start tag."""
         self.s = s
         self.n = len(s)
         self.i = 0
         self.raw_tag = ""
+        self.attr_tags = attr_tags
 
     # -- raw text ---------------------------------------------------------
 
@@ -277,16 +282,23 @@ class Tokenizer:
             name = _lower(m.group(1))
             attrs = None
             if save_attr:
-                attrs = []
-                for k, v in _ATTR_RE.findall(m.group(2)):
-                    if v and (v[0] == '"' or v[0] == "'"):
-                        v = v[1:-1]
-                    attrs.append(
-                        (_lower(k), _html.unescape(_convert_newlines(v)))
-                    )
+                if self.attr_tags is not None and name not in self.attr_tags:
+                    attrs = ()
+                else:
+                    attrs = []
+                    for k, v in _ATTR_RE.findall(m.group(2)):
+                        if v and (v[0] == '"' or v[0] == "'"):
+                            v = v[1:-1]
+                        attrs.append(
+                            (_lower(k), _html.unescape(_convert_newlines(v)))
+                        )
             return name, attrs, m.end(), False
         name, i = self._read_tag_name(i)
-        attrs = [] if save_attr else None
+        if save_attr and self.attr_tags is not None and name not in self.attr_tags:
+            save_attr = False
+            attrs = ()
+        else:
+            attrs = [] if save_attr else None
         i = self._skip_ws(i)
         while True:
             if i >= n:
