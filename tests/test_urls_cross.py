@@ -1,0 +1,59 @@
+"""Cross-check: Catalyst URL expressions vs the exact pure-Python normurl
+port on the same inputs (the Spark functions are corpus-scale
+approximations of the reference; this pins where they agree)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_boilerpipe_spark import normurl
+from go_boilerpipe_spark.functions import urls
+from go_boilerpipe_spark.spark_session import build_session
+
+CASES = [
+    "https://blog.openshift.com/day-18-boilerpipe-article-extraction-for-java-developers",
+    "https://lasvegassun.com/news/2017/apr/20/lease-no-rent-for-raiders-at-las-vegas-stadium",
+    "https://3w.huanqiu.com/a/a4d1ef/7LpwetJb1HW?agt=8",
+    "http://media.people.com.cn/n1/2019/0330/c40606-31004041.html",
+    "HTTPS://WWW.Example.COM/A/B/?utm_source=x",
+    "www.google.com/path/",
+    "scheme://host/path/2016/nov/16?query#fragment",
+    "scheme://host/path/2016-12-15-title?query#fragment",
+    "scheme://host/path/2017-01?query#fragment",
+    "https://vegasinc.lasvegassun.com/business/real-estate/",
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(app_name="urlx", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def test_normalize_matches_pure_port(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select("url", urls.normalize_url(F.col("url")).alias("n")).collect()
+    }
+    for u in CASES:
+        assert got[u] == str(normurl.parse(u)), u
+
+
+def test_root_and_date_match_pure_port(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], "url string")
+    rows = df.select(
+        "url",
+        urls.url_root(F.col("url")).alias("root"),
+        urls.url_date(F.col("url")).alias("d"),
+    ).collect()
+    for r in rows:
+        pure = normurl.parse(r["url"])
+        assert r["root"] == pure.root().lower(), r["url"]
+        expect = pure.date()
+        got = r["d"]
+        if isinstance(got, datetime.datetime):
+            got = got.date()
+        assert got == expect, r["url"]
