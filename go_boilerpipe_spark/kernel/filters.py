@@ -63,7 +63,7 @@ def terminating_blocks(doc) -> bool:
     for tb in doc.text_blocks:
         if tb.num_words < 15:
             text = go_trim_space(tb.text)
-            if len(text.encode("utf-8")) >= 8:
+            if len(text.encode("utf-8", "surrogateescape")) >= 8:
                 text_lc = text.lower()
                 if (
                     text_lc.startswith("comments")

@@ -333,8 +333,15 @@ class ContentHandler:
             self.token_buffer.clear()
             return
 
-        # bytes.Buffer.Len() is a *byte* length (content_handler.go:277-286)
-        blen = len(token_str) if token_str.isascii() else len(token_str.encode("utf-8"))
+        # bytes.Buffer.Len() is a *byte* length (content_handler.go:277-286).
+        # surrogateescape: invalid-UTF-8 input decoded with surrogateescape
+        # round-trips to its original bytes, so the byte count equals Go's
+        # (which operates on the raw bytes) and never raises.
+        blen = (
+            len(token_str)
+            if token_str.isascii()
+            else len(token_str.encode("utf-8", "surrogateescape"))
+        )
         if blen == 0:
             return
         if blen == 1 and self.last_was_whitespace:

@@ -49,6 +49,30 @@ _ARROW_SCHEMA = pa.schema(
 _MAX_BATCH_BYTES = 64 << 20
 
 
+def _decode_html(html):
+    """Decode html bytes, reporting whether the bytes were valid UTF-8.
+
+    Strict decode is the fast common path; invalid pages fall back to
+    surrogateescape so the kernel sees Go-equivalent raw bytes (byte-length
+    parity), and the caller scrubs lone surrogates before Arrow (Arrow string
+    columns must be valid UTF-8 — a raw 0xFF in a <title> would otherwise
+    raise UnicodeEncodeError inside pa.array() and kill the task)."""
+    if isinstance(html, str):
+        return html, True
+    b = bytes(html)
+    try:
+        return b.decode("utf-8"), True
+    except UnicodeDecodeError:
+        return b.decode("utf-8", "surrogateescape"), False
+
+
+def _scrub(s):
+    """Replace surrogateescape'd invalid bytes with U+FFFD (valid UTF-8)."""
+    if s is None:
+        return None
+    return s.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+
+
 def extract_record_batches(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
@@ -73,7 +97,8 @@ def extract_record_batches(
                 err = "html is null"
             else:
                 try:
-                    doc = extract_article(html)
+                    html_str, clean = _decode_html(html)
+                    doc = extract_article(html_str)
                     title = doc.title
                     author = doc.author
                     if doc.date is not None:
@@ -81,8 +106,14 @@ def extract_record_batches(
                     content = doc.content()
                     n_blocks = len(doc.text_blocks)
                     n_content = sum(1 for tb in doc.text_blocks if tb.is_content)
+                    if not clean:
+                        # invalid-UTF-8 page: make every output string a valid
+                        # UTF-8 string before it reaches pa.array()
+                        title = _scrub(title)
+                        author = _scrub(author)
+                        content = _scrub(content)
                 except Exception as e:  # never fail the task on one document
-                    err = f"{type(e).__name__}: {e}"
+                    err = _scrub(f"{type(e).__name__}: {e}")
                 acc_bytes += len(html)
 
             out_url.append(url)
@@ -146,11 +177,9 @@ def extract_debug_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
             names, nb, ncb = [], [], []
             content = None
             if html is not None:
-                doc, snaps = extract_debug(
-                    html.decode("utf-8", errors="surrogateescape")
-                    if isinstance(html, (bytes, bytearray)) else html
-                )
-                content = doc.content()
+                html_str, clean = _decode_html(html)
+                doc, snaps = extract_debug(html_str)
+                content = doc.content() if clean else _scrub(doc.content())
                 for name, blocks in snaps:
                     names.append(name)
                     nb.append(len(blocks))

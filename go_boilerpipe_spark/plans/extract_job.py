@@ -142,15 +142,28 @@ class ExtractJob:
         # Iceberg: one transaction via overwritePartitions)
         self.catalog.overwrite_partition(extracted, self.sink, f"chunk={chunk_id}")
 
-        # lineage: per-partition counters from the written chunk (cheap
-        # column-pruned aggregate over the chunk we just wrote).
+        # lineage: per-partition counters from the written chunk. ONE scan of
+        # the output: the grouped rows are collected (tiny — one row per task
+        # partition), re-materialized driver-side for the lineage append, and
+        # the chunk totals are summed from the same rows (the old second
+        # `res.agg(...)` pass was a full extra read per chunk — at 100 TB of
+        # output that doubled the sink I/O).
         res = spark.read.parquet(out_dir)
-        lineage = res.groupBy("part_id").agg(
-            F.count("*").alias("docs_out"),
-            F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)).alias(
-                "parse_errors"
-            ),
-            F.sum(F.length("content")).alias("content_chars"),
+        lineage_rows = (
+            res.groupBy("part_id")
+            .agg(
+                F.count("*").alias("docs_out"),
+                F.sum(
+                    F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
+                ).alias("parse_errors"),
+                F.sum(F.length("content")).alias("content_chars"),
+            )
+            .collect()
+        )
+        lineage = spark.createDataFrame(
+            lineage_rows,
+            schema="part_id int, docs_out bigint, parse_errors bigint, "
+                   "content_chars bigint",
         ).withColumns(
             {
                 "run_id": F.lit(run_id),
@@ -160,25 +173,33 @@ class ExtractJob:
         )
         self.catalog.append(lineage, self.lineage_dir)
 
-        agg = res.agg(
-            F.count("*").alias("docs_out"),
-            F.sum(
-                F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
-            ).alias("parse_errors"),
-        ).collect()[0]
+        docs_out = sum(r["docs_out"] for r in lineage_rows)
+        parse_errors = sum(int(r["parse_errors"] or 0) for r in lineage_rows)
 
         return {
             "run_id": run_id,
             "chunk_id": chunk_id,
             "files": chunk_files,
-            "docs_in": agg["docs_out"],  # nulls filtered pre-UDF
-            "docs_out": agg["docs_out"],
-            "parse_errors": int(agg["parse_errors"] or 0),
+            "docs_in": docs_out,  # nulls filtered pre-UDF
+            "docs_out": docs_out,
+            "parse_errors": parse_errors,
             "wall_sec": time.monotonic() - t0,
         }
 
 
 def read_extracted(spark, sink: str):
+    """Read the extracted corpus, trusting the manifest over the directory
+    listing: a re-run with a smaller chunking can leave stale committed
+    chunk dirs from the previous run in the sink — globbing chunk=* would
+    return their rows as duplicates."""
+    manifest_dir = os.path.join(sink, "_manifest")
+    if os.path.isdir(manifest_dir):
+        ids = sorted(
+            f[:-5] for f in os.listdir(manifest_dir) if f.endswith(".json")
+        )
+        paths = [os.path.join(sink, f"chunk={cid}") for cid in ids]
+        if paths:
+            return spark.read.option("basePath", sink).parquet(*paths)
     return spark.read.option("basePath", sink).parquet(
         os.path.join(sink, "chunk=*")
     )

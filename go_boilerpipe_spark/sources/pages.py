@@ -73,14 +73,18 @@ def synthesize_pages(
         d = F.when(r < 3, F.lit(1)).when(r < 6, F.lit(2)).otherwise(
             (g % nb).cast("int")
         )
+        # d is remapped, so id//nb would collide on (d, k) — use the raw id
+        # as the replica counter to keep urls unique (FIXTURES.md §1).
+        k = g
     else:
         d = (g % nb).cast("int")
+        k = (g / nb).cast("long")
 
     base = F.broadcast(_base_df(spark))
     df = (
         spark.range(0, n_docs, 1, partitions)
         .withColumn("d", d.cast("int"))
-        .withColumn("k", (g / nb).cast("long"))
+        .withColumn("k", k.cast("long"))
         .join(base, "d")
     )
 

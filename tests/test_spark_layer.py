@@ -32,6 +32,12 @@ def corpus(spark, tmp_path_factory):
     return path
 
 
+def test_skew_mode_urls_stay_unique(spark):
+    # ADVICE r1: skew mode remapped d but kept k=id//7, colliding on (d,k)
+    pages = synthesize_pages(spark, 200, skew=True, partitions=4)
+    assert pages.select("url").distinct().count() == 200
+
+
 class TestExtractOperator:
     def test_golden_parity_through_spark(self, spark, corpus):
         pages = spark.read.parquet(corpus).filter(F.col("html").isNotNull())
@@ -70,6 +76,53 @@ class TestExtractOperator:
         pages = spark.read.parquet(corpus)
         plan = extract_articles(pages)._jdf.queryExecution().executedPlan().toString()
         assert "ReadSchema: struct<url:string,html:binary>" in plan
+
+    def test_invalid_utf8_page_survives(self):
+        # ADVICE r1 (high): a raw 0xFF in <title>/body used to raise
+        # UnicodeEncodeError inside pa.array() and kill the Arrow batch.
+        import pyarrow as pa
+
+        from go_boilerpipe_spark.kernel.document import extract_article
+        from go_boilerpipe_spark.operators.extract import extract_record_batches
+
+        bad = (
+            b"<html><head><title>bad \xff title</title></head><body>"
+            b"<p>seven words of real body text \xfe\xff here to pass the "
+            b"minimum plus some more words so the classifier keeps it as "
+            b"content for sure definitely</p></body></html>"
+        )
+        # kernel contract: binary garbage must return a Document, never raise
+        doc = extract_article(bad)
+        assert doc.title.startswith("bad ")
+
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(["http://x.test/bad", "http://x.test/ok"]),
+                pa.array([bad, b"<html><body><p>plain ok page with enough "
+                               b"words to form one content block right here "
+                               b"today definitely absolutely because the "
+                               b"number of words rules classifier wants a "
+                               b"reasonably dense block of prose before it "
+                               b"will mark anything as content at all"
+                               b"</p></body></html>"],
+                         pa.binary()),
+            ],
+            names=["url", "html"],
+        )
+        out = list(extract_record_batches(iter([batch])))
+        assert sum(b.num_rows for b in out) == 2
+        rows = {u: (t, c, e) for u, t, c, e in zip(
+            out[0].column("url").to_pylist(),
+            out[0].column("title").to_pylist(),
+            out[0].column("content").to_pylist(),
+            out[0].column("parse_error").to_pylist(),
+        )}
+        t, c, e = rows["http://x.test/bad"]
+        assert e is None and "�" in t and "�" in c
+        # outputs are valid UTF-8 (encodable strictly)
+        t.encode("utf-8"); c.encode("utf-8")
+        _, c_ok, e_ok = rows["http://x.test/ok"]
+        assert e_ok is None and "plain ok page" in c_ok
 
     def test_null_html_yields_error_row(self, spark):
         pages = synthesize_pages(spark, 14, null_html_every=2, partitions=2)

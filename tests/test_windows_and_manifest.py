@@ -77,6 +77,24 @@ class TestManifestEdges:
         # output remains exactly one copy (overwrite semantics)
         assert read_extracted(spark, sink).count() == 14
 
+    def test_stale_chunk_dirs_excluded_by_manifest(self, spark, tmp_path):
+        # ADVICE r1: a re-run whose input listing yields FEWER chunks used to
+        # leave stale chunk dirs that read_extracted's chunk=* glob returned
+        # as duplicate rows. The manifest is now the source of truth.
+        src = str(tmp_path / "pages")
+        sink = str(tmp_path / "sink")
+        write_pages_table(spark, src, 14, partitions=2)
+        job = ExtractJob(spark, src, sink, parallelism=4,
+                         chunk_target_bytes=1 << 40)
+        job.run()
+        n = read_extracted(spark, sink).count()
+        assert n == 14
+
+        # simulate a stale chunk dir from an older, finer chunking
+        stale = read_extracted(spark, sink).limit(5)
+        stale.write.mode("overwrite").parquet(os.path.join(sink, "chunk=000009"))
+        assert read_extracted(spark, sink).count() == n  # stale rows excluded
+
     def test_partial_failure_leaves_chunk_uncommitted(self, spark, tmp_path):
         src = str(tmp_path / "pages")
         sink = str(tmp_path / "sink")
