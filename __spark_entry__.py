@@ -96,6 +96,35 @@ def _url_col():
     )
 
 
+# Adversarial URL shapes for the url_normalize oracle (VERDICT r1 item 7):
+# bare host (the "/." path.Clean quirk), dup slashes + trailing slash +
+# query/fragment, dot-segments, schemeless + ".."-resolution.
+_URL_ADV_EXPR_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || upper(source) || '.COM' "
+    "WHEN doc_id % 4 = 1 THEN 'HTTP://WWW.' || upper(source) || "
+    "'.COM/A//B/' || doc_id || '/?utm_source=x&y=1#frag' "
+    "WHEN doc_id % 4 = 2 THEN 'HTTPS://WWW.' || upper(source) || "
+    "'.COM/A/../B/./' || doc_id || '/' "
+    "ELSE 'WWW.' || upper(source) || '.COM/X/' || doc_id || '/../' || doc_id "
+    "|| '#frag' END"
+)
+
+
+def _url_adv_col():
+    host = F.concat(F.lit("WWW."), F.upper("source"), F.lit(".COM"))
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id")
+    return (
+        F.when(m == 0, F.concat(F.lit("HTTP://"), host))
+        .when(m == 1, F.concat(F.lit("HTTP://"), host, F.lit("/A//B/"), did,
+                               F.lit("/?utm_source=x&y=1#frag")))
+        .when(m == 2, F.concat(F.lit("HTTPS://"), host, F.lit("/A/../B/./"),
+                               did, F.lit("/")))
+        .otherwise(F.concat(host, F.lit("/X/"), did, F.lit("/../"), did,
+                            F.lit("#frag")))
+    )
+
+
 def _marker_sql(col: str, words) -> str:
     """SQL twin of textstats._marker_hits."""
     padded = f"(' ' || lower({col}) || ' ')"
@@ -235,7 +264,7 @@ def _q_orders_join(spark, sf):
 def _q_url_normalize(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
-        "doc_id", urls.normalize_url(_url_col()).alias("norm_url")
+        "doc_id", urls.normalize_url(_url_adv_col()).alias("norm_url")
     )
 
 
@@ -629,10 +658,39 @@ _BUCKET_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
-    url_norm = (
-        f"lower(regexp_replace(regexp_replace(regexp_replace({_URL_EXPR_SQL}, "
-        "'[?#].*$', ''), '([^:])/{{2,}}', '\\1/', 'g'), '([^/])/$', '\\1'))"
-    ).replace("{{", "{").replace("}}", "}")
+    # DuckDB twin of functions/urls.py normalize_url: default scheme, strip
+    # query/fragment, path.Clean via a list_reduce fold (string accumulator,
+    # the rooted path's leading "" segment is the seed), "/." bare-host quirk.
+    url_norm_sql = f"""
+        WITH r AS (
+          SELECT doc_id, {_URL_ADV_EXPR_SQL} AS raw FROM documents
+        ), s AS (
+          SELECT doc_id,
+            CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                 THEN raw ELSE 'http://' || raw END AS u0
+          FROM r
+        ), t AS (
+          SELECT doc_id, regexp_replace(u0, '[?#].*$', '') AS u FROM s
+        ), p AS (
+          SELECT doc_id,
+            regexp_extract(u, '^([^/]*//[^/]*)', 1) AS pre,
+            substr(u, length(regexp_extract(u, '^([^/]*//[^/]*)', 1)) + 1)
+              AS rawpath
+          FROM t
+        ), f AS (
+          SELECT doc_id, pre, rawpath,
+            list_reduce(string_split(rawpath, '/'), (acc, x) ->
+              CASE WHEN x = '' OR x = '.' THEN acc
+                   WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+                   ELSE acc || '/' || x END) AS folded
+          FROM p
+        )
+        SELECT doc_id,
+          lower(pre || CASE WHEN rawpath = '' THEN '/.'
+                            WHEN folded = '' THEN '/'
+                            ELSE folded END) AS norm_url
+        FROM f
+    """
     return {
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
@@ -707,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
-        "url_normalize": f"SELECT doc_id, {url_norm} AS norm_url FROM documents",
+        "url_normalize": url_norm_sql,
         "url_root": f"""
             WITH h AS (
               SELECT doc_id,

@@ -5,12 +5,15 @@ Spark-native equivalents of the reference's normurl package (SURVEY.md
 for corpus-level URL work where the pure-Python port would be a UDF tax.
 
 Semantics follow normurl defaults: scheme defaulting to http, query and
-fragment stripped, path cleaned of a trailing slash, lowercased string
-(normurl/normurl.go:71-122,184-186). ``path.Clean``'s full dot-segment
-resolution is not expressible as a fixed-point in one expression; crawl
-URLs are already normalized by the fetcher, so trailing-slash and
-duplicate-slash cleanup covers the corpus-level contract (the pure-Python
-kernel port in go_boilerpipe_spark.normurl is the exact reference).
+fragment stripped, full ``path.Clean`` (dot-segment resolution via a
+Catalyst ``aggregate`` fold over the path segments — no Python), lowercased
+string (normurl/normurl.go:71-122,184-186). Includes the Go quirk that a
+bare host serializes with ``/.`` (``path.Clean("") == "."``), matching the
+exact pure-Python port in go_boilerpipe_spark.normurl byte-for-byte on
+authority-form http(s) URLs (tests/test_urls_cross.py). Known residual
+divergence: opaque/scheme-colon forms without ``//`` (``mailto:x``,
+``host:8080/p``) — the port replicates Go's quirky handling, the column
+twin treats them as schemeless; out of crawl-corpus scope.
 """
 
 from __future__ import annotations
@@ -25,15 +28,34 @@ def with_default_scheme(url: Column) -> Column:
     return F.when(has_scheme, url).otherwise(F.concat(F.lit("http://"), url))
 
 
+def clean_rooted_path(path: Column) -> Column:
+    """Go ``path.Clean`` for rooted URL paths (normurl.go:71-122), as a
+    Catalyst fold: split on "/", fold segments into a string accumulator —
+    empty/"." segments are skipped, ".." pops the last component (a pop at
+    the root is a no-op, the rooted semantics). The leading "" segment of a
+    rooted path makes the zero-value seed exact."""
+    folded = F.aggregate(
+        F.split(path, "/"),
+        F.lit(""),
+        lambda acc, s: F.when((s == "") | (s == "."), acc)
+        .when(s == "..", F.regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(F.concat(acc, F.lit("/"), s)),
+    )
+    return F.when(folded == "", F.lit("/")).otherwise(folded)
+
+
 def normalize_url(url: Column) -> Column:
-    """U1: normurl.Parse + String() — strip query/fragment, clean path,
-    lowercase."""
+    """U1: normurl.Parse + String() — strip query/fragment, path.Clean,
+    lowercase. Bare hosts serialize as ``host/.`` like the reference
+    (path.Clean("") == "." then the "/"-join quirk, normurl.go:184-186)."""
     u = with_default_scheme(url)
     u = F.regexp_replace(u, "[?#].*$", "")        # strip query + fragment
-    u = F.regexp_replace(u, "([^:])//+", "$1/")   # duplicate slashes in path
-    # path.Clean drops a trailing slash unless the path is just "/"
-    u = F.regexp_replace(u, "([^/])/$", "$1")
-    return F.lower(u)
+    prefix = F.regexp_extract(u, "^([^/]*//[^/]*)", 1)  # scheme://authority
+    rawpath = F.substr(u, F.length(prefix) + F.lit(1))
+    path = F.when(rawpath == "", F.lit("/.")).otherwise(
+        clean_rooted_path(rawpath)
+    )
+    return F.lower(F.concat(prefix, path))
 
 
 DEFAULT_QUERY_KEY_BLACKLIST = (

@@ -22,6 +22,16 @@ CASES = [
     "scheme://host/path/2016-12-15-title?query#fragment",
     "scheme://host/path/2017-01?query#fragment",
     "https://vegasinc.lasvegassun.com/business/real-estate/",
+    # ADVICE r1 + VERDICT item 7: bare host ("/." quirk) and dot-segments
+    "http://example.com",
+    "example.com",
+    "https://example.com/a/../b",
+    "http://host/./x/",
+    "http://host/../top",
+    "http://host//a///b",
+    "http://host/a/b/../../c/d/..",
+    "http://host/..",
+    "http://host/.",
 ]
 
 
