@@ -18,7 +18,7 @@ inside the Arrow-batched extraction UDF (one call per document).
 
 from __future__ import annotations
 
-import html as _html
+from .unescape import go_unescape
 
 # Token types (subset the parse loop distinguishes; mirrors html.TokenType).
 ERROR = 0  # EOF
@@ -290,7 +290,7 @@ class Tokenizer:
                         if v and (v[0] == '"' or v[0] == "'"):
                             v = v[1:-1]
                         attrs.append(
-                            (_lower(k), _html.unescape(_convert_newlines(v)))
+                            (_lower(k), go_unescape(_convert_newlines(v), True))
                         )
             return name, attrs, m.end(), False
         name, i = self._read_tag_name(i)
@@ -355,7 +355,7 @@ class Tokenizer:
                         i = n
             if save_attr and key:
                 attrs.append(
-                    (_lower(key), _html.unescape(_convert_newlines(val)))
+                    (_lower(key), go_unescape(_convert_newlines(val), True))
                 )
             i = self._skip_ws(i)
 
@@ -425,7 +425,7 @@ class Tokenizer:
                     if "\x00" in text:
                         text = text.replace("\x00", "�")
                 else:
-                    text = _html.unescape(text)
+                    text = go_unescape(text)
                 return (TEXT, text, None)
             # empty raw text: fall through to normal scanning
 
@@ -502,7 +502,7 @@ class Tokenizer:
             return (COMMENT, "", None)
 
     def _text(self, raw: str) -> str:
-        return _html.unescape(_convert_newlines(raw))
+        return go_unescape(_convert_newlines(raw))
 
 
 def tokens(s: str):
