@@ -126,6 +126,15 @@ def _url_adv_col():
 
 
 def _marker_sql(col: str, words) -> str:
+    """SQL twin of textstats._marker_hits (same alternation, same RE2/Java
+    leftmost non-overlapping count semantics)."""
+    pat = " (" + "|".join(words) + ") "
+    return (
+        f"len(regexp_extract_all(' ' || lower({col}) || ' ', '{pat}'))"
+    )
+
+
+def _marker_sql_old(col: str, words) -> str:
     """SQL twin of textstats._marker_hits."""
     padded = f"(' ' || lower({col}) || ' ')"
     terms = []
@@ -388,15 +397,34 @@ def _q_winnow(spark, sf):
     return dedup.winnow_fingerprint(_t(spark, sf, "documents"))
 
 
+def _q_dedup_minhash_capped(spark, sf):
+    # VERDICT r1 item 2: corpus with a large exact-dup cluster (40 clones
+    # of doc 0) — exact-dedup-before-banding keeps one representative, and
+    # the bucket cap bounds any residual hot bucket.
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") == 0).select("text")
+    clones = (
+        spark.range(40)
+        .crossJoin(F.broadcast(seed))
+        .select((F.col("id") + 1000000).alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(clones)
+    return dedup.minhash_lsh_pairs_capped(
+        corpus, num_hashes=8, bands=4, max_bucket_size=8
+    )
+
+
+def _ivf_centroids(e):
+    # centroid table (in production: sampled k-means output) — stays a
+    # DataFrame end-to-end; no driver collect, no literal expression ladder
+    return e.filter(F.col("vec_id").between(5, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
 def _q_ann_ivf(spark, sf):
     e, q = _queries_emb(spark, sf)
-    cents = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in e.filter(F.col("vec_id").between(5, 8))
-        .orderBy("vec_id")
-        .collect()
-    ]
-    return similarity.cosine_topk_ivf(e, q, cents, k=10)
+    return similarity.cosine_topk_ivf(e, q, _ivf_centroids(e), k=10, nprobe=2)
 
 
 def _q_events_salted(spark, sf):
@@ -417,15 +445,8 @@ def _q_events_salted(spark, sf):
     ).withColumn("total_value", F.col("total_value").cast("double"))
 
 
-def _q_ann_recall(spark, sf):
-    # recall@10 of multi-probe sign-LSH vs exact brute force, per query
-    e, q = _queries_emb(spark, sf)
-    truth = similarity.cosine_topk(e, q, k=10).select(
-        "query_id", F.col("vec_id").alias("tv")
-    )
-    probe = similarity.cosine_topk_lsh_multiprobe(e, q, k=10, h=8).select(
-        "query_id", F.col("vec_id").alias("pv")
-    )
+def _recall_vs(truth, probe_df, method):
+    probe = probe_df.select("query_id", F.col("vec_id").alias("pv"))
     hits = truth.join(
         probe,
         (truth.query_id == probe.query_id) & (F.col("tv") == F.col("pv")),
@@ -434,10 +455,30 @@ def _q_ann_recall(spark, sf):
         truth.select("query_id").distinct()
         .join(hits, "query_id", "left")
         .select(
+            F.lit(method).alias("method"),
             "query_id",
             F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+def _q_ann_recall(spark, sf):
+    # recall@10 vs exact brute force, per query, for each ANN path:
+    # multi-probe sign-LSH and IVF with nprobe=2
+    e, q = _queries_emb(spark, sf)
+    truth = similarity.cosine_topk(e, q, k=10).select(
+        "query_id", F.col("vec_id").alias("tv")
+    )
+    lsh = _recall_vs(
+        truth, similarity.cosine_topk_lsh_multiprobe(e, q, k=10, h=8),
+        "lsh_multiprobe",
+    )
+    ivf = _recall_vs(
+        truth,
+        similarity.cosine_topk_ivf(e, q, _ivf_centroids(e), k=10, nprobe=2),
+        "ivf_nprobe2",
+    )
+    return lsh.unionByName(ivf)
 
 
 def _q_lang_confusion(spark, sf):
@@ -519,6 +560,7 @@ _RAW_QUERIES = {
         "url_keep_query": _q_url_keep_query,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_minhash_capped": _q_dedup_minhash_capped,
         "dedup_simhash": _q_dedup_simhash,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "lang_id": _q_lang_id,
@@ -551,8 +593,8 @@ _SHINGLES_SQL = """
 """
 
 _MINHASH_SQL = """
-WITH toksrc AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+WITH {pre}toksrc AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM {src}
 ), shing AS (
     SELECT doc_id, unnest({sh}) AS sh FROM toksrc
 ), sig AS (
@@ -563,7 +605,7 @@ WITH toksrc AS (
 """.strip()
 
 
-def _minhash_cte(num_hashes=8, bands=4):
+def _minhash_cte(num_hashes=8, bands=4, src="documents", pre=""):
     rows = num_hashes // bands
     minaggs = ", ".join(
         f"min(md5('s{j}:' || sh)) AS mh{j}" for j in range(num_hashes)
@@ -572,7 +614,9 @@ def _minhash_cte(num_hashes=8, bands=4):
         "md5(" + " || '|' || ".join(f"mh{b*rows+r}" for r in range(rows)) + ")"
         for b in range(bands)
     )
-    return _MINHASH_SQL.format(sh=_SHINGLES_SQL, minaggs=minaggs, bandkeys=bandkeys)
+    return _MINHASH_SQL.format(
+        sh=_SHINGLES_SQL, minaggs=minaggs, bandkeys=bandkeys, src=src, pre=pre
+    )
 
 
 def _lang_id_sql():
@@ -651,10 +695,23 @@ def _cos_expr_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-_BUCKET_SQL = (
-    "list_sum([CASE WHEN {v}[i+1] > 0 THEN 2**i ELSE 0 END "
-    "FOR i IN generate_series(0, 7)])"
-)
+def _rademacher_proj_sql(v: str, i: int) -> str:
+    """DuckDB twin of similarity._rademacher_sign projection: same integer
+    sign derivation, same left-to-right double accumulation."""
+    return (
+        f"list_sum([CAST({v}[j] AS DOUBLE) * CAST(1 - 2 * "
+        f"((CAST(({i}*131 + j) AS BIGINT) * 2654435761 >> 13) & 1) AS DOUBLE) "
+        f"FOR j IN generate_series(1, len({v}))])"
+    )
+
+
+def _bucket_sql(v: str, h: int = 8) -> str:
+    """DuckDB twin of similarity.sign_lsh_bucket (Rademacher sign LSH)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_rademacher_proj_sql(v, i)} > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(h)
+    )
+    return f"({terms})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -822,6 +879,32 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         """,
+        "dedup_minhash_capped": _minhash_cte(
+            src="keepers",
+            pre="""corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT 1000000 + r.range AS doc_id,
+                     (SELECT text FROM documents WHERE doc_id = 0) AS text
+              FROM range(40) r
+            ), keepers AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM corpus
+              ) WHERE doc_id = keeper
+            ), """,
+        ) + """
+            , bcnt AS (
+              SELECT bucket, count(*) AS n FROM banded GROUP BY bucket
+            ), capped AS (
+              SELECT b.doc_id, b.bucket FROM banded b
+              JOIN bcnt USING (bucket) WHERE n <= 8
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
         "dedup_simhash": """
             WITH tok AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
@@ -882,13 +965,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _COS_SQL.format(join="CROSS JOIN", cond=""),
         "ann_cosine_lsh": _COS_SQL.format(
             join="JOIN",
-            cond="ON " + _BUCKET_SQL.format(v="e.embedding")
-            + " = " + _BUCKET_SQL.format(v="q.qv"),
+            cond="ON " + _bucket_sql("e.embedding")
+            + " = " + _bucket_sql("q.qv"),
         ),
         "dedup_embedding": f"""
             WITH b AS (
               SELECT vec_id, embedding,
-                     {_BUCKET_SQL.format(v="embedding")} AS bucket
+                     {_bucket_sql("embedding")} AS bucket
               FROM embeddings
             )
             SELECT l.vec_id AS id_a, r.vec_id AS id_b,
@@ -928,13 +1011,20 @@ def oracle_sql() -> dict[str, str]:
                              c.cid ASC) AS rn
                 FROM embeddings e CROSS JOIN c
               ) WHERE rn = 1
-            ), q AS (
-              SELECT vec_id AS query_id, embedding AS qv, ivf_cell
-              FROM ea WHERE vec_id < 5
+            ), qa AS (
+              SELECT vec_id AS query_id, embedding AS qv, cid AS ivf_cell
+              FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY {_cos_expr_sql("e.embedding", "c.cv")} DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+                WHERE e.vec_id < 5
+              ) WHERE rn <= 2
             ), scored AS (
               SELECT q.query_id, e.vec_id,
                 round({_cos_expr_sql("e.embedding", "q.qv")}, 5) AS cosine
-              FROM ea e JOIN q ON e.ivf_cell = q.ivf_cell
+              FROM ea e JOIN qa q ON e.ivf_cell = q.ivf_cell
             ), ranked AS (
               SELECT query_id, vec_id, cosine,
                 row_number() OVER (PARTITION BY query_id
@@ -955,44 +1045,94 @@ def oracle_sql() -> dict[str, str]:
               max(value) AS max_value
             FROM events GROUP BY event_type
         """,
-        "ann_recall": _COS_SQL.format(join="CROSS JOIN", cond="").replace(
-            "SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10",
-            """, truth AS (
-              SELECT query_id, vec_id FROM ranked WHERE rank <= 10
+        "ann_recall": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 5
+            ), tscored AS (
+              SELECT q.query_id, e.vec_id,
+                round({_cos_expr_sql("e.embedding", "q.qv")}, 5) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ), tranked AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM tscored
+            ), truth AS (
+              SELECT query_id, vec_id FROM tranked WHERE rank <= 10
             ), qb AS (
               SELECT query_id, qv,
-                unnest([CAST({b} AS BIGINT)] ||
-                       [xor(CAST({b} AS BIGINT), CAST(2**i AS BIGINT))
+                unnest([CAST({_bucket_sql("qv")} AS BIGINT)] ||
+                       [xor(CAST({_bucket_sql("qv")} AS BIGINT),
+                            CAST(2**i AS BIGINT))
                         FOR i IN generate_series(0, 7)]) AS bucket
               FROM q
             ), eb AS (
-              SELECT vec_id, embedding, CAST({be} AS BIGINT) AS bucket
+              SELECT vec_id, embedding,
+                CAST({_bucket_sql("embedding")} AS BIGINT) AS bucket
               FROM embeddings
             ), pscored AS (
               SELECT DISTINCT qb.query_id, eb.vec_id,
-                round({cs}, 5) AS cosine
+                round({_cos_expr_sql("eb.embedding", "qb.qv")}, 5) AS cosine
               FROM eb JOIN qb ON eb.bucket = qb.bucket
             ), pranked AS (
               SELECT query_id, vec_id,
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM pscored
-            ), probe AS (
+            ), probe_lsh AS (
               SELECT query_id, vec_id FROM pranked WHERE rank <= 10
-            ), hits AS (
-              SELECT t.query_id, count(*) AS h
-              FROM truth t JOIN probe p
+            ), c AS (
+              SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id BETWEEN 5 AND 8
+            ), ea AS (
+              SELECT vec_id, embedding, cid AS ivf_cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY {_cos_expr_sql("e.embedding", "c.cv")} DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+              ) WHERE rn = 1
+            ), qa AS (
+              SELECT vec_id AS query_id, embedding AS qv, cid AS ivf_cell
+              FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY {_cos_expr_sql("e.embedding", "c.cv")} DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+                WHERE e.vec_id < 5
+              ) WHERE rn <= 2
+            ), iscored AS (
+              SELECT qa.query_id, e.vec_id,
+                round({_cos_expr_sql("e.embedding", "qa.qv")}, 5) AS cosine
+              FROM ea e JOIN qa ON e.ivf_cell = qa.ivf_cell
+            ), iranked AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM iscored
+            ), probe_ivf AS (
+              SELECT query_id, vec_id FROM iranked WHERE rank <= 10
+            ), hits_lsh AS (
+              SELECT t.query_id, count(*) AS h FROM truth t
+              JOIN probe_lsh p
                 ON t.query_id = p.query_id AND t.vec_id = p.vec_id
               GROUP BY t.query_id
-            )
-            SELECT q2.query_id,
+            ), hits_ivf AS (
+              SELECT t.query_id, count(*) AS h FROM truth t
+              JOIN probe_ivf p
+                ON t.query_id = p.query_id AND t.vec_id = p.vec_id
+              GROUP BY t.query_id
+            ), qids AS (SELECT DISTINCT query_id FROM truth)
+            SELECT 'lsh_multiprobe' AS method, qids.query_id,
               round(coalesce(h.h, 0) / 10.0, 2) AS recall_at_10
-            FROM (SELECT DISTINCT query_id FROM truth) q2
-            LEFT JOIN hits h ON q2.query_id = h.query_id"""
-            .replace("{b}", _BUCKET_SQL.format(v="qv"))
-            .replace("{be}", _BUCKET_SQL.format(v="embedding"))
-            .replace("{cs}", _cos_expr_sql("eb.embedding", "qb.qv")),
-        ),
+            FROM qids LEFT JOIN hits_lsh h ON qids.query_id = h.query_id
+            UNION ALL
+            SELECT 'ivf_nprobe2' AS method, qids.query_id,
+              round(coalesce(h.h, 0) / 10.0, 2) AS recall_at_10
+            FROM qids LEFT JOIN hits_ivf h ON qids.query_id = h.query_id
+        """,
         "quality_filter": f"""
             WITH base AS (
               SELECT doc_id, lang, length(text) AS nc,

@@ -22,18 +22,17 @@ LANG_MARKERS = {
 
 
 def _marker_hits(text_lc: Column, words) -> Column:
-    """Count occurrences of ' word ' markers (space-delimited hits)."""
+    """Count occurrences of ' word ' markers (space-delimited hits).
+
+    ONE regexp_count over an alternation per marker set (VERDICT r1
+    item 5: the per-word replace-length chain blew past whole-stage-codegen
+    limits — 20 string replaces per language — falling back to interpreted
+    eval with a ~5 s per-query compile cost). Leftmost non-overlapping
+    match semantics are identical in Java regex and DuckDB's RE2, so the
+    oracle twin uses the same pattern."""
     padded = F.concat(F.lit(" "), text_lc, F.lit(" "))
-    total = F.lit(0)
-    for w in words:
-        pat = f" {w} "
-        # occurrence count via length difference; plain (non-regex) replace
-        # has identical non-overlapping semantics in Spark and DuckDB
-        total = total + (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(" "))))
-            / F.lit(len(pat) - 1)
-        ).cast("int")
-    return total
+    pat = " (" + "|".join(words) + ") "
+    return F.regexp_count(padded, F.lit(pat)).cast("int")
 
 
 def cjk_char_count(text: Column) -> Column:

