@@ -50,9 +50,12 @@ def _ensure_corpus(spark) -> str:
     return str(CORPUS_DIR)
 
 
-def _extract_bench(cores: int, n_docs_limit: int | None = None,
-                   trials: int = 2) -> dict:
-    """Timed extraction at local[cores]; workers warmed, best of trials."""
+def _extract_bench(cores: int, halve: bool = False, trials: int = 2) -> dict:
+    """Timed extraction at local[cores]; workers warmed, best of trials.
+
+    ``halve`` selects a deterministic ~50% subset via a url-hash filter —
+    fully parallel (a LIMIT would funnel rows through a serial global-limit
+    stage, which distorts the N vs 4N comparison once the kernel is fast)."""
     from pyspark.sql import functions as F
 
     from go_boilerpipe_spark.operators.extract import extract_articles
@@ -66,8 +69,8 @@ def _extract_bench(cores: int, n_docs_limit: int | None = None,
     try:
         corpus = _ensure_corpus(spark)
         pages = spark.read.parquet(corpus).filter(F.col("html").isNotNull())
-        if n_docs_limit:
-            pages = pages.limit(n_docs_limit)
+        if halve:
+            pages = pages.filter(F.xxhash64("url") % 2 == 0)
         extracted = extract_articles(pages, parallelism=4 * cores)
 
         def run():
@@ -136,9 +139,8 @@ def main():
     big = _extract_bench(CPUS)
     scaling = None
     if DO_SCALING:
-        scale_docs = min(N_DOCS, 6000)
-        n1 = _extract_bench(2, n_docs_limit=scale_docs, trials=1)
-        n4 = _extract_bench(8, n_docs_limit=scale_docs, trials=2)
+        n1 = _extract_bench(2, halve=True, trials=2)
+        n4 = _extract_bench(8, halve=True, trials=2)
         eff = (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0
         scaling = {
             "n_cores": 2,

@@ -80,15 +80,12 @@ def parse_to_handler(html: str) -> ContentHandler:
     TEXT = htmltok.TEXT
     START = htmltok.START_TAG
     END = htmltok.END_TAG
-    ERROR = htmltok.ERROR
-    while True:
-        tt, data, attrs = z.next()
-        if tt == ERROR:
-            break
+    h_text = h.text_token
+    for tt, data, attrs in z.iter_tokens():
         if tt == TEXT:
             if h.in_ld_json:
                 h.ld_json.append(data)
-            h.text_token(data)
+            h_text(data)
         elif tt == START:
             # malformed start tags that should be self-closing are skipped
             # (boilerpipe.go:130-134, shouldBeSelfClosingTag)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 
 from ._unicode_classes import LETTER_CLASS, NUMERIC_WORD_CLASS
-from .atoms import atom_of
+from .atoms import KNOWN_ATOMS, atom_of  # noqa: F401 (atom_of is public API)
 from .rfc3339 import parse_rfc3339
 from .textblock import (
     HEADING,
@@ -50,6 +50,9 @@ def go_trim_space(s: str) -> str:
 
 # content_handler.go:237-241 — Go \d is ASCII [0-9].
 _RE_WORD_BOUNDARY = re.compile("[" + LETTER_CLASS + "0-9_]+")
+# capturing variant: ONE split pass yields [piece0, word0, piece1, word1, …]
+# (identical to split + findall interleave, at half the regex work)
+_RE_WORD_BOUNDARY_CAP = re.compile("([" + LETTER_CLASS + "0-9_]+)")
 _RE_NOT_WORD_BOUNDARY = re.compile("⁣*([\"'.,!@\\-:;$?()/])⁣*")
 _RE_INVISIBLE_SEPARATOR = re.compile("⁣+")
 _RE_SPACE = re.compile("[ ]+")
@@ -57,30 +60,58 @@ _RE_SPACE = re.compile("[ ]+")
 _RE_VALID_WORD_CHARACTER = re.compile("[" + LETTER_CLASS + NUMERIC_WORD_CLASS + "]")
 
 
+# The NOT_WORD_BOUNDARY punctuation (content_handler.go:239): a U+2063
+# marker adjacent (through this char) to a word edge is consumed, gluing
+# the punctuation to the word.
+_TOKEN_PUNCT = frozenset("\"'.,!@-:;$?()/")
+
+
 def tokenize(text: str):
     """content_handler.go:243-255 (UnicodeTokenizer port).
 
-    Implementation note: the three Go regex passes are kept semantically
-    but written without per-match Python callbacks — split/findall
-    interleave for the marker wrap, and ``''.join(split())`` for the
-    marker-stripping pass (re.split with a capturing group keeps the
-    punctuation chars, so the join IS the ``$1`` replacement)."""
-    text = go_trim_space(text)
-    pieces = _RE_WORD_BOUNDARY.split(text)
-    if len(pieces) > 1:
-        words = _RE_WORD_BOUNDARY.findall(text)
-        buf = [pieces[0]]
-        ap = buf.append
-        for w, p in zip(words, pieces[1:]):
-            ap("⁣")
-            ap(w)
-            ap("⁣")
+    Implementation note: Go's three regex passes (wrap words in U+2063
+    markers; strip markers around NOT_WORD_BOUNDARY punctuation; marker
+    runs → space; split on spaces) reduce to a single rule per junction
+    piece between words: the word-adjacent marker survives (→ space,
+    separating tokens) iff the piece's adjacent char is NOT one of the
+    listed punctuation chars. One capturing split + a parts walk computes
+    exactly that; tests/test_kernel_units.py pins the equivalence."""
+    text = text.strip(GO_SPACE)
+    parts = _RE_WORD_BOUNDARY_CAP.split(text)
+    np = len(parts)
+    if np == 1:
+        # no words: only the space-split pass applies
+        if not text:
+            return [""]
+        return [t for t in text.split(" ") if t]
+    P = _TOKEN_PUNCT
+    buf = [parts[0]]
+    ap = buf.append
+    if not (parts[0] and parts[0][-1] in P):
+        ap(" ")
+    last = np - 1
+    for k in range(1, last, 2):
+        ap(parts[k])  # the word run
+        p = parts[k + 1]
+        if k + 1 == last:
+            # trailing piece: only its leading edge touches a marker
+            if not (p and p[0] in P):
+                ap(" ")
             ap(p)
-        text = "".join(buf)
-    if "⁣" in text:
-        text = "".join(_RE_NOT_WORD_BOUNDARY.split(text))
-        text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
-    return _RE_SPACE.split(go_trim_space(text))
+        else:
+            # interior junction: both edges touch markers
+            if p[0] not in P:
+                ap(" ")
+            ap(p)
+            if p[-1] not in P:
+                ap(" ")
+    text = "".join(buf).strip(GO_SPACE)
+    # "[ ]+"-split via str.split: runs collapse to interior '' entries,
+    # dropped by the filter; the one observable difference is the empty
+    # string, where regex split returns [''] — preserved explicitly.
+    if not text:
+        return [""]
+    return [t for t in text.split(" ") if t]
 
 
 def is_word(tok: str) -> bool:
@@ -166,7 +197,8 @@ class ContentHandler:
     # -- events --------------------------------------------------------------
 
     def start_element(self, name: str, attrs):
-        self.atom_stack.append(atom_of(name))
+        # inline atom_of: one set lookup
+        self.atom_stack.append(name if name in KNOWN_ATOMS else "")
 
         ta = TAG_ACTION_MAP.get(name)
         if ta is not None:
@@ -188,8 +220,9 @@ class ContentHandler:
         self.last_start_tag = name
 
     def end_element(self, name: str):
-        pa = self.atom_stack.pop() if self.atom_stack else ""
-        if pa != atom_of(name):
+        stack = self.atom_stack
+        pa = stack.pop() if stack else ""
+        if pa != (name if name in KNOWN_ATOMS else ""):
             return  # malformed HTML, missing closing tag
 
         ta = TAG_ACTION_MAP.get(name)
@@ -201,7 +234,7 @@ class ContentHandler:
         if ta is None or ta in _CHANGES_TAG_LEVEL:
             self.depth_tag -= 1
 
-        if self.flush:
+        if self.flush and self.token_buffer:
             self.flush_block()
 
         self.last_end_tag = name
@@ -269,7 +302,8 @@ class ContentHandler:
         self.text_element_index += 1
 
         if self.flush:
-            self.flush_block()
+            if self.token_buffer:
+                self.flush_block()
             self.flush = False
 
         if self.depth_ignoreable != 0:
@@ -277,11 +311,20 @@ class ContentHandler:
         if not data:
             return
 
+        # fast path: the two single-char whitespace tokens that dominate
+        # markup-dense HTML ("\n" between tags, " " from entity-free gaps)
+        if data == "\n" or data == " ":
+            if not self.last_was_whitespace:
+                self.text_buffer.append(" ")
+                self.token_buffer.append(" ")
+                self.last_was_whitespace = True
+            return
+
         # spaceRemover (content_handler.go:154-235): collapse whitespace runs
         # to single spaces, remembering whether the first/last rune was space.
         was_first = data[0] in _GO_SPACE_SET
         was_last = data[-1] in _GO_SPACE_SET
-        ch = go_trim_space(_SPACE_RUN.sub(" ", data))
+        ch = _SPACE_RUN.sub(" ", data).strip(GO_SPACE)
 
         if not ch:
             if was_first or was_last:
@@ -351,7 +394,6 @@ class ContentHandler:
 
         toks = tokenize(token_str)
 
-        max_line_length = 80
         num_words = 0
         num_linked_words = 0
         num_wrapped_lines = 0
@@ -360,12 +402,13 @@ class ContentHandler:
         current_line_length = -1  # don't count the first space
 
         in_anchor = self.in_anchor_text
+        word_search = _RE_VALID_WORD_CHARACTER.search  # inlined is_word
         for tok in toks:
             if tok == ANCHOR_TEXT_START:
                 in_anchor = True
             elif tok == ANCHOR_TEXT_END:
                 in_anchor = False
-            elif is_word(tok):
+            elif word_search(tok) is not None:
                 num_tokens += 1
                 num_words += 1
                 num_words_current_line += 1
@@ -373,7 +416,7 @@ class ContentHandler:
                     num_linked_words += 1
                 tok_length = len(tok)
                 current_line_length += tok_length + 1
-                if current_line_length > max_line_length:
+                if current_line_length > 80:  # max line length
                     num_wrapped_lines += 1
                     current_line_length = tok_length
                     num_words_current_line = 1

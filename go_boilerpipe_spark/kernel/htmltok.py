@@ -93,7 +93,7 @@ class Tokenizer:
     ``attrs`` is a list of ``(key, value)`` for START_TAG/SELF_CLOSING.
     """
 
-    __slots__ = ("s", "n", "i", "raw_tag", "attr_tags")
+    __slots__ = ("s", "n", "i", "raw_tag", "attr_tags", "_gen")
 
     def __init__(self, s: str, attr_tags=None):
         """``attr_tags``: when given, attribute extraction runs only for
@@ -105,6 +105,7 @@ class Tokenizer:
         self.i = 0
         self.raw_tag = ""
         self.attr_tags = attr_tags
+        self._gen = None
 
     # -- raw text ---------------------------------------------------------
 
@@ -400,106 +401,130 @@ class Tokenizer:
 
     # -- main ---------------------------------------------------------------
 
-    def next(self):
+    def iter_tokens(self):
+        """Generator form of the token stream — the hot path. Locals
+        persist across yields (no per-token function-call prologue); the
+        semantics are exactly the per-call ``next()`` loop's."""
         s, n = self.s, self.n
-        i = self.i
-        if i >= n:
-            return (ERROR, "", None)
-
-        if self.raw_tag:
-            tag = self.raw_tag
-            if tag == "plaintext":
-                end = n
-                raw = True
-            elif tag == "script":
-                end = self._read_script()
-                raw = True
-            else:
-                end = self._read_raw_or_rcdata()
-                raw = tag not in _RCDATA_TAGS
-            self.raw_tag = ""
-            if end > i:
-                self.i = end
-                text = _convert_newlines(s[i:end])
-                if raw:
-                    if "\x00" in text:
-                        text = text.replace("\x00", "�")
-                else:
-                    text = go_unescape(text)
-                return (TEXT, text, None)
-            # empty raw text: fall through to normal scanning
-
-        i = self.i
-        text_start = i
+        find = s.find
+        text_of = self._text
+        read_tag = self._read_tag
         while True:
-            j = s.find("<", i)
-            if j == -1:
-                # EOF: all remaining is text
-                self.i = n
-                if text_start < n:
-                    return (TEXT, self._text(s[text_start:n]), None)
-                return (ERROR, "", None)
-            if j + 1 >= n:
-                # '<' then EOF → text includes it
-                self.i = n
-                return (TEXT, self._text(s[text_start:n]), None)
-            c = s[j + 1]
-            if _is_alpha(c):
-                tok_type = START_TAG
-            elif c == "/":
-                tok_type = END_TAG
-            elif c == "!" or c == "?":
-                tok_type = COMMENT
-            else:
-                i = j + 1  # '<' is part of text
-                continue
+            i = self.i
+            if i >= n:
+                return
 
-            if text_start < j:
-                # emit accumulated text first; re-scan the tag next call
-                self.i = j
-                return (TEXT, self._text(s[text_start:j]), None)
+            if self.raw_tag:
+                tag = self.raw_tag
+                if tag == "plaintext":
+                    end = n
+                    raw = True
+                elif tag == "script":
+                    end = self._read_script()
+                    raw = True
+                else:
+                    end = self._read_raw_or_rcdata()
+                    raw = tag not in _RCDATA_TAGS
+                self.raw_tag = ""
+                if end > i:
+                    self.i = end
+                    text = _convert_newlines(s[i:end])
+                    if raw:
+                        if "\x00" in text:
+                            text = text.replace("\x00", "�")
+                    else:
+                        text = go_unescape(text)
+                    yield (TEXT, text, None)
+                    continue
+                # empty raw text: fall through to normal scanning
+                i = self.i
 
-            if tok_type == START_TAG:
-                name, attrs, end, eof = self._read_tag(j + 1, True)
-                if eof:
+            text_start = i
+            while True:
+                j = find("<", i)
+                if j == -1:
+                    # EOF: all remaining is text
                     self.i = n
-                    return (ERROR, "", None)
-                self.i = end
-                if name in _RAW_TAGS:
-                    # rawTag is set even when the tag turns out self-closing
-                    # (x/net/html readStartTag does the same).
-                    self.raw_tag = name
-                # self-closing iff the source byte before '>' is '/'
-                if end - 2 >= 0 and s[end - 2] == "/":
-                    return (SELF_CLOSING, name, attrs)
-                return (START_TAG, name, attrs)
-
-            if tok_type == END_TAG:
-                if j + 2 >= n:
-                    # "</" then EOF → becomes text
+                    if text_start < n:
+                        yield (TEXT, text_of(s[text_start:n]), None)
+                    return
+                if j + 1 >= n:
+                    # '<' then EOF → text includes it
                     self.i = n
-                    return (TEXT, self._text(s[text_start:n]), None)
-                c = s[j + 2]
-                if c == ">":
-                    # "</>" yields no real token (empty comment placeholder)
-                    self.i = j + 3
-                    return (COMMENT, "", None)
-                if _is_alpha(c):
-                    name, _, end, eof = self._read_tag(j + 2, False)
+                    yield (TEXT, text_of(s[text_start:n]), None)
+                    return
+                c = s[j + 1]
+                if "a" <= c <= "z" or "A" <= c <= "Z":
+                    tok_type = START_TAG
+                elif c == "/":
+                    tok_type = END_TAG
+                elif c == "!" or c == "?":
+                    tok_type = COMMENT
+                else:
+                    i = j + 1  # '<' is part of text
+                    continue
+
+                if text_start < j:
+                    # emit accumulated text first; re-scan the tag after
+                    self.i = j
+                    yield (TEXT, text_of(s[text_start:j]), None)
+                    break
+
+                if tok_type == START_TAG:
+                    name, attrs, end, eof = read_tag(j + 1, True)
                     if eof:
                         self.i = n
-                        return (ERROR, "", None)
+                        return
                     self.i = end
-                    return (END_TAG, name, None)
-                self.i = self._read_until_close_angle(j + 2)
-                return (COMMENT, "", None)
+                    if name in _RAW_TAGS:
+                        # rawTag is set even when the tag turns out
+                        # self-closing (x/net/html readStartTag does the same).
+                        self.raw_tag = name
+                    # self-closing iff the source byte before '>' is '/'
+                    if end - 2 >= 0 and s[end - 2] == "/":
+                        yield (SELF_CLOSING, name, attrs)
+                    else:
+                        yield (START_TAG, name, attrs)
+                    break
 
-            # COMMENT-ish
-            if c == "!":
-                self.i = self._read_markup_declaration(j + 2)
-            else:  # "<?"
-                self.i = self._read_until_close_angle(j + 2)
-            return (COMMENT, "", None)
+                if tok_type == END_TAG:
+                    if j + 2 >= n:
+                        # "</" then EOF → becomes text
+                        self.i = n
+                        yield (TEXT, text_of(s[text_start:n]), None)
+                        return
+                    c = s[j + 2]
+                    if c == ">":
+                        # "</>" yields no real token (empty comment)
+                        self.i = j + 3
+                        yield (COMMENT, "", None)
+                    elif "a" <= c <= "z" or "A" <= c <= "Z":
+                        name, _, end, eof = read_tag(j + 2, False)
+                        if eof:
+                            self.i = n
+                            return
+                        self.i = end
+                        yield (END_TAG, name, None)
+                    else:
+                        self.i = self._read_until_close_angle(j + 2)
+                        yield (COMMENT, "", None)
+                    break
+
+                # COMMENT-ish
+                if c == "!":
+                    self.i = self._read_markup_declaration(j + 2)
+                else:  # "<?"
+                    self.i = self._read_until_close_angle(j + 2)
+                yield (COMMENT, "", None)
+                break
+
+    def next(self):
+        """Pull-style wrapper over :meth:`iter_tokens` (single source of
+        truth for the tokenizer logic)."""
+        g = self._gen
+        if g is None:
+            g = self._gen = self.iter_tokens()
+        return next(g, (ERROR, "", None))
 
     def _text(self, raw: str) -> str:
         return go_unescape(_convert_newlines(raw))

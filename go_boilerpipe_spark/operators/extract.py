@@ -78,8 +78,10 @@ def extract_record_batches(
 ) -> Iterator[pa.RecordBatch]:
     """mapInArrow kernel: (url, html) batches → OUTPUT_SCHEMA batches."""
     for batch in batches:
-        urls = batch.column("url")
-        htmls = batch.column("html")
+        # one vectorized Arrow→Python conversion per column (C-side),
+        # not a per-element .as_py() round trip
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
         n = batch.num_rows
 
         out_url, out_title, out_author, out_date = [], [], [], []
@@ -87,8 +89,8 @@ def extract_record_batches(
         acc_bytes = 0
 
         for i in range(n):
-            url = urls[i].as_py()
-            html = htmls[i].as_py()
+            url = urls[i]
+            html = htmls[i]
             title = author = content = None
             date = None
             n_blocks = n_content = 0
