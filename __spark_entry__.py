@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from go_boilerpipe_spark.functions import textstats, urls  # noqa: E402
-from go_boilerpipe_spark.operators import dedup, similarity  # noqa: E402
+from go_boilerpipe_spark.operators import curation, dedup, similarity  # noqa: E402
 from go_boilerpipe_spark.operators.extract import extract_articles  # noqa: E402
 from go_boilerpipe_spark.operators.multimodal import decode_media  # noqa: E402
 
@@ -427,6 +427,40 @@ def _q_ann_ivf(spark, sf):
     return similarity.cosine_topk_ivf(e, q, _ivf_centroids(e), k=10, nprobe=2)
 
 
+def _q_dedup_clusters(spark, sf):
+    # connected components over the LSH candidate graph: every doc mapped
+    # to the smallest doc id reachable through near-dup pairs
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4)
+    return dedup.duplicate_clusters(pairs, d.select("doc_id"))
+
+
+def _q_contamination(spark, sf):
+    # benchmark decontamination: probes are 40-char slices of docs 3 and 7
+    # (deterministic; each probe hits at least its own source document)
+    d = _t(spark, sf, "documents")
+    probes = (
+        d.filter(F.col("doc_id").isin(3, 7))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring("text", 50, 40).alias("phrase"),
+        )
+        .filter(F.length("phrase") == 40)
+    )
+    return curation.contamination_pairs(d, probes)
+
+
+def _q_sample_stratified(spark, sf):
+    d = _t(spark, sf, "documents")
+    return curation.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    ).select("doc_id", "lang")
+
+
+def _q_top_terms(spark, sf):
+    return curation.top_terms(_t(spark, sf, "documents"), k=20)
+
+
 def _q_events_salted(spark, sf):
     # aggregation-skew defuse: salted two-phase agg over a low-cardinality
     # key; results exactly equal the naive groupBy (the oracle)
@@ -577,6 +611,10 @@ _RAW_QUERIES = {
         "ann_recall": _q_ann_recall,
         "quality_filter": _q_quality_filter,
         "dedup_keep": _q_dedup_keep,
+        "dedup_clusters": _q_dedup_clusters,
+        "contamination": _q_contamination,
+        "sample_stratified": _q_sample_stratified,
+        "top_terms": _q_top_terms,
         "multimodal_decode": _q_multimodal,
         "extract_golden": _q_extract_golden,
     }
@@ -1162,6 +1200,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN flags f ON d.doc_id = f.doc_id
             WHERE NOT f.is_duplicate
+        """,
+        # connected components via transitive closure (WITH RECURSIVE):
+        # feasible at oracle scale; the Spark side is min-label propagation
+        "dedup_clusters": (_minhash_cte() + """
+            , pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT e.dst AS id, reach.r AS r
+              FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """).replace("WITH ", "WITH RECURSIVE ", 1),
+        "contamination": """
+            WITH probes AS (
+              SELECT doc_id AS probe_id, substr(text, 50, 40) AS phrase
+              FROM documents
+              WHERE doc_id IN (3, 7) AND length(substr(text, 50, 40)) = 40
+            )
+            SELECT d.doc_id, p.probe_id
+            FROM documents d, probes p
+            WHERE contains(d.text, p.phrase)
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000
+              < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+                          WHEN 'fr' THEN 200 WHEN 'es' THEN 200
+                          WHEN 'zh' THEN 100 ELSE 0 END
+        """,
+        "top_terms": """
+            SELECT term, n FROM (
+              SELECT term, CAST(count(*) AS BIGINT) AS n
+              FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS term
+                FROM documents
+              )
+              WHERE length(term) >= 4
+              GROUP BY term
+            ) ORDER BY n DESC, term ASC LIMIT 20
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -1,0 +1,86 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Deterministic, oracle-twinned building blocks a 100 TB curation run needs
+beyond dedup/quality: benchmark decontamination, stratified sampling, and
+vocabulary statistics. All pure Catalyst expressions (no Python UDFs);
+hash primitives are md5-hex so the DuckDB twins compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Benchmark-decontamination scan: (doc, probe) pairs where the doc's
+    text contains the probe phrase verbatim.
+
+    The probe set (benchmark strings / eval n-grams) is small → broadcast;
+    the scan is one map-side pass over the corpus, no shuffle. At 10^5+
+    probes switch the contains() loop for an Aho-Corasick pandas_udf —
+    same broadcast + map-side plan shape."""
+    return (
+        docs.select(id_col, text_col)
+        .crossJoin(F.broadcast(probes.select(probe_id_col, phrase_col)))
+        .filter(F.col(text_col).contains(F.col(phrase_col)))
+        .select(id_col, probe_id_col)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "s1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a row iff
+    md5(salt || id) mod 1000 < 1000·rate(stratum). Reproducible across
+    runs, engines, and partitionings (no RNG state); changing ``salt``
+    draws an independent sample. One map-side filter — no shuffle."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000
+    )
+    threshold = F.lit(int(default_rate * 1000))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 1000))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    min_len: int = 4,
+) -> DataFrame:
+    """Corpus vocabulary head: top-k lowercase whitespace tokens of length
+    ≥ min_len by frequency (ties broken by term, so the cut at rank k is
+    deterministic). Explode is map-side; the count is one shuffle with
+    map-side partial aggregation; the top-k is a tiny sort."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("term")
+    )
+    counts = (
+        toks.filter(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)

@@ -342,6 +342,62 @@ def winnow_fingerprint(
     return staged.select(F.col(id_col), fp.alias("winnow_fp"))
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the near-dup candidate graph: every doc
+    gets the smallest doc id reachable through ``pairs`` as its
+    ``cluster_id`` (singletons map to themselves).
+
+    Min-label propagation: each round, a vertex takes the min of its own
+    label and its neighbors' labels; stop when a round changes nothing.
+    Rounds ≤ graph diameter (dup clusters are shallow in practice); each
+    round is one shuffle on the vertex id, and the frontier is cached and
+    localCheckpointed so lineage stays flat. At 10^12-doc scale swap the
+    propagation for the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce") — same join/agg shuffle pattern,
+    provably O(log n) rounds."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lab")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
+            .select(
+                "v",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -302,3 +302,62 @@ class TestMultimodal:
         assert byid[0]["width"] >= 64 and byid[0]["height"] >= 64
         out2 = {r["doc_id"]: r for r in decode_media(df).collect()}
         assert out2[3] == byid[3]
+
+
+class TestCuration:
+    def test_duplicate_clusters_chain_and_singleton(self, spark):
+        # chain 1-2, 2-3 plus singleton 9: component min propagates the
+        # full chain even though 1 and 3 never share a pair
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)],
+                                    "doc_id long")
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs, ids).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+    def test_stratified_sample_deterministic(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "zh") for i in range(200)],
+            "doc_id long, lang string",
+        )
+        a = curation.stratified_sample(df, "lang", {"en": 0.5, "zh": 0.0})
+        b = curation.stratified_sample(df, "lang", {"en": 0.5, "zh": 0.0})
+        ra = sorted(r["doc_id"] for r in a.collect())
+        rb = sorted(r["doc_id"] for r in b.collect())
+        assert ra == rb  # same salt → same sample
+        assert all(i % 2 == 0 for i in ra)  # zh rate 0 → excluded
+        assert 20 <= len(ra) <= 80  # ~50% of 100 en docs
+        c = curation.stratified_sample(df, "lang", {"en": 0.5, "zh": 0.0},
+                                       salt="other")
+        assert sorted(r["doc_id"] for r in c.collect()) != ra
+
+    def test_contamination_pairs(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "a totally clean document with nothing shared"),
+             (3, "prefix text then the quick brown fox appears here")],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [(100, "the quick brown fox")], "probe_id long, phrase string"
+        )
+        hits = {(r["doc_id"], r["probe_id"])
+                for r in curation.contamination_pairs(docs, probes).collect()}
+        assert hits == {(1, 100), (3, 100)}
+
+    def test_top_terms_tiebreak(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "zebra apple zebra apple banana")], "doc_id long, text string"
+        )
+        rows = curation.top_terms(docs, k=2, min_len=5).collect()
+        assert [(r["term"], r["n"]) for r in rows] == [
+            ("apple", 2), ("zebra", 2)  # tie → term asc
+        ]
