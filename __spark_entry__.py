@@ -461,6 +461,14 @@ def _q_top_terms(spark, sf):
     return curation.top_terms(_t(spark, sf, "documents"), k=20)
 
 
+def _q_segment_dedup(spark, sf):
+    return curation.segment_dedup(_t(spark, sf, "documents"), seg_tokens=10)
+
+
+def _q_token_rarity(spark, sf):
+    return curation.doc_token_rarity(_t(spark, sf, "documents"))
+
+
 def _q_events_salted(spark, sf):
     # aggregation-skew defuse: salted two-phase agg over a low-cardinality
     # key; results exactly equal the naive groupBy (the oracle)
@@ -615,6 +623,8 @@ _RAW_QUERIES = {
         "contamination": _q_contamination,
         "sample_stratified": _q_sample_stratified,
         "top_terms": _q_top_terms,
+        "segment_dedup": _q_segment_dedup,
+        "token_rarity": _q_token_rarity,
         "multimodal_decode": _q_multimodal,
         "extract_golden": _q_extract_golden,
     }
@@ -1237,6 +1247,40 @@ def oracle_sql() -> dict[str, str]:
               < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
                           WHEN 'fr' THEN 200 WHEN 'es' THEN 200
                           WHEN 'zh' THEN 100 ELSE 0 END
+        """,
+        "segment_dedup": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), segs AS (
+              SELECT doc_id, i AS seg_idx,
+                md5(array_to_string(toks[i*10+1 : i*10+10], ' ')) AS seg_hash
+              FROM t, unnest(generate_series(
+                0, CAST(greatest(ceil(len(toks) / 10.0), 1) AS INT) - 1)) u(i)
+            )
+            SELECT doc_id, seg_idx, seg_hash,
+              first_value(doc_id) OVER w AS keeper_doc,
+              first_value(seg_idx) OVER w AS keeper_idx,
+              NOT (doc_id = first_value(doc_id) OVER w
+                   AND seg_idx = first_value(seg_idx) OVER w)
+                AS is_dup_segment
+            FROM segs
+            WINDOW w AS (PARTITION BY seg_hash ORDER BY doc_id, seg_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "token_rarity": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents
+            ), dfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(df) AS BIGINT) AS sum_df,
+              round(CAST(sum(df) AS BIGINT) / count(*), 4) AS mean_df
+            FROM toks JOIN dfs USING (term)
+            GROUP BY doc_id
         """,
         "top_terms": """
             SELECT term, n FROM (

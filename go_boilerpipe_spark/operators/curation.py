@@ -65,6 +65,94 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """CCNet-style segment-level dedup: split each doc into consecutive
+    ``seg_tokens``-token segments, hash each, and mark every segment whose
+    hash already occurs at a smaller (doc_id, seg_idx) — the keeper. Web
+    pipelines drop duplicated boilerplate paragraphs this way while
+    keeping the unique remainder of each page.
+
+    One explode + one shuffle on the segment hash (uniform key). The
+    segment array is staged in its own projection so the per-index slice
+    pass does not re-evaluate the token split per element (O(n²) trap)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_seg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_seg - 1)
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(
+            idx,
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ).alias("_segs"),
+    )
+    segs = staged.select(
+        id_col, F.posexplode("_segs").alias("seg_idx", "seg_text")
+    ).select(
+        id_col, "seg_idx",
+        F.md5(F.col("seg_text").cast("binary")).alias("seg_hash"),
+    )
+    w = (
+        Window.partitionBy("seg_hash")
+        .orderBy(id_col, "seg_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return segs.select(
+        id_col, "seg_idx", "seg_hash",
+        F.first_value(F.col(id_col)).over(w).alias("keeper_doc"),
+        F.first_value(F.col("seg_idx")).over(w).alias("keeper_idx"),
+    ).withColumn(
+        "is_dup_segment",
+        ~((F.col(id_col) == F.col("keeper_doc"))
+          & (F.col("seg_idx") == F.col("keeper_idx"))),
+    )
+
+
+def doc_token_rarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc token rarity: the mean document frequency of the doc's
+    tokens (low mean-df = rare vocabulary). An integer-exact stand-in for
+    LM-perplexity quality scoring: log()'s last-ulp behavior differs
+    between JVM and C runtimes, while BIGINT sums and one final division
+    are bit-identical in every engine — so the oracle can hash-match.
+
+    Two shuffles: the df count (map-side partial agg) and the term join
+    (broadcast the df table when the vocab fits, else shuffle join)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+        ).alias("term"),
+    )
+    dfs = toks.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    return (
+        toks.join(dfs, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+        .withColumn(
+            "mean_df", F.round(F.col("sum_df") / F.col("n_tokens"), 4)
+        )
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 20,

@@ -361,3 +361,36 @@ class TestCuration:
         assert [(r["term"], r["n"]) for r in rows] == [
             ("apple", 2), ("zebra", 2)  # tie → term asc
         ]
+
+    def test_segment_dedup_marks_shared_chunks(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        shared = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [(1, shared + " unique tail of first doc here now ok yes"),
+             (2, shared + " different ending for the second document here")],
+            "doc_id long, text string",
+        )
+        rows = curation.segment_dedup(docs, seg_tokens=10).collect()
+        by_key = {(r["doc_id"], r["seg_idx"]): r for r in rows}
+        # segment 0 is identical across docs: doc 1 keeps, doc 2 is dup
+        assert not by_key[(1, 0)]["is_dup_segment"]
+        assert by_key[(2, 0)]["is_dup_segment"]
+        assert by_key[(2, 0)]["keeper_doc"] == 1
+        # the differing tails are not duplicates
+        assert not by_key[(1, 1)]["is_dup_segment"]
+        assert not by_key[(2, 1)]["is_dup_segment"]
+
+    def test_token_rarity_orders_docs(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "common common common"),      # df=2 tokens only
+             (2, "common rareword"),           # mixes df=2 and df=1
+             (3, "unique singleton tokens")],  # all df=1
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in curation.doc_token_rarity(docs).collect()}
+        assert out[1]["mean_df"] > out[2]["mean_df"] > out[3]["mean_df"]
+        assert out[3]["mean_df"] == 1.0
+        assert out[1]["n_tokens"] == 3 and out[1]["sum_df"] == 6
