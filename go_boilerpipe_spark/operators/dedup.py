@@ -371,13 +371,19 @@ def duplicate_clusters(
     labels = ids.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lab")
     ).localCheckpoint()
+    # Convergence check without an extra join: labels are non-increasing
+    # under min-propagation, so the label sum strictly decreases until the
+    # fixpoint — equal sums ⇒ no label changed. decimal(38,0) so the sum
+    # cannot overflow even at 10^12 vertices with 10^12-sized ids.
+    lab_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
+    cur = labels.agg(lab_sum).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.v)
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
             .select(
                 "v",
@@ -385,15 +391,10 @@ def duplicate_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new = labels.agg(lab_sum).collect()[0][0]
+        if new == cur:
             break
+        cur = new
     edges.unpersist()
     return labels.select(F.col("v").alias(id_col), F.col("lab").alias("cluster_id"))
 
