@@ -120,3 +120,41 @@ class TestManifestEdges:
         s = job.run()
         assert s["chunks_done"] == 1
         assert read_extracted(spark, sink).count() == 14
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    # the same urls land twice (recrawl); the streaming dedup keeps one
+    # row per normalized url within the watermark horizon
+    from go_boilerpipe_spark.streaming.dedup_stream import dedup_stream_exact
+
+    src = str(tmp_path / "pages")
+    write_pages_table(spark, src, 35, partitions=2)
+    first = spark.read.parquet(src)
+    # recrawl copy: same urls, 1 minute later (inside the watermark)
+    recrawl = first.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    recrawl.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 70
+
+    def drain(name, ck, normalize):
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            dedup_stream_exact(stream, late="2 hours", normalize=normalize)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=180)
+        return spark.sql(f"SELECT url FROM {name}")
+
+    # exact urls: each of the 35 unique urls kept once (recrawl dropped)
+    out = drain("dedup_stream_raw", "ck_raw", normalize=False)
+    assert out.count() == 35
+    assert out.distinct().count() == 35
+    # normalized urls: ?rep=k aliases collapse to the 7 base documents
+    out_n = drain("dedup_stream_norm", "ck_norm", normalize=True)
+    assert out_n.count() == 7
