@@ -469,6 +469,34 @@ def _q_token_rarity(spark, sf):
     return curation.doc_token_rarity(_t(spark, sf, "documents"))
 
 
+def _q_curate_pipeline(spark, sf):
+    """The composed curation run a training-data team would ship: quality
+    gate → exact dedup (keep canonical) → stratified sample → per-lang
+    stats. Every stage is the same operator the standalone queries check;
+    per-lang mean quality accumulates in DECIMAL so the value is exact
+    and engine-portable."""
+    d = _t(spark, sf, "documents")
+    gated = d.select(
+        "doc_id", "lang", "text",
+        textstats.quality_score(F.col("text")).alias("q"),
+    ).filter(F.col("q") >= 0.7)
+    flags = dedup.exact_dedup(gated.select("doc_id", "text"))
+    kept = gated.join(
+        flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    sampled = curation.stratified_sample(
+        kept, "lang", {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(10,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_q"),
+    )
+
+
 def _q_events_salted(spark, sf):
     # aggregation-skew defuse: salted two-phase agg over a low-cardinality
     # key; results exactly equal the naive groupBy (the oracle)
@@ -625,6 +653,7 @@ _RAW_QUERIES = {
         "top_terms": _q_top_terms,
         "segment_dedup": _q_segment_dedup,
         "token_rarity": _q_token_rarity,
+        "curate_pipeline": _q_curate_pipeline,
         "multimodal_decode": _q_multimodal,
         "extract_golden": _q_extract_golden,
     }
@@ -1267,6 +1296,40 @@ def oracle_sql() -> dict[str, str]:
             FROM segs
             WINDOW w AS (PARTITION BY seg_hash ORDER BY doc_id, seg_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "curate_pipeline": f"""
+            WITH base AS (
+              SELECT doc_id, lang, text, length(text) AS nc,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+                length(text) - length(regexp_replace(text,
+                  '[\\.,;:!\\?\\-''"()]', '', 'g')) AS np,
+                {_marker_sql("text", textstats.LANG_MARKERS["en"])} AS ns
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, lang, text, round(
+                (CASE WHEN toks BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+                (CASE WHEN round(np / greatest(nc, 1), 6)
+                      BETWEEN 0.001 AND 0.3 THEN 0.3 ELSE 0.0 END) +
+                (CASE WHEN round(ns / greatest(toks, 1), 6) >= 0.01
+                      THEN 0.3 ELSE 0.0 END), 6) AS q
+              FROM base
+            ), gated AS (
+              SELECT * FROM scored WHERE q >= 0.7
+            ), kept AS (
+              SELECT doc_id, lang, q FROM (
+                SELECT doc_id, lang, q,
+                  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM gated
+              ) WHERE doc_id = keeper
+            ), sampled AS (
+              SELECT doc_id, lang, q FROM kept
+              WHERE ('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT % 1000 < 500
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              round(CAST(sum(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / count(*),
+                    6) AS avg_q
+            FROM sampled GROUP BY lang
         """,
         "token_rarity": """
             WITH toks AS (
