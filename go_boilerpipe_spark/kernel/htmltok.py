@@ -70,9 +70,19 @@ _ASCII_LOWER = str.maketrans(
 )
 
 
+_LOWER_CACHE: dict = {}
+
+
 def _lower(s: str) -> str:
-    # Go's lower() only folds ASCII A-Z.
-    return s.translate(_ASCII_LOWER)
+    # Go's lower() only folds ASCII A-Z. Tag/attribute names repeat
+    # constantly → memoize (capped so adversarial random names cannot
+    # grow the dict unboundedly).
+    r = _LOWER_CACHE.get(s)
+    if r is None:
+        r = s.translate(_ASCII_LOWER)
+        if len(_LOWER_CACHE) < 4096:
+            _LOWER_CACHE[s] = r
+    return r
 
 
 def _convert_newlines(s: str) -> str:
