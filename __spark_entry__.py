@@ -590,6 +590,20 @@ def _q_multimodal(spark, sf):
     return decode_media(d)
 
 
+def _q_multimodal_frames(spark, sf):
+    from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+    return sample_frame_indices(decode_media(d), k=8)
+
+
 def _q_extract_golden(spark, sf):
     # flagship through the queries surface (rows-only check: the per-doc
     # SAX extraction is not ANSI-SQL-expressible; pytest is its gate)
@@ -655,6 +669,7 @@ _RAW_QUERIES = {
         "token_rarity": _q_token_rarity,
         "curate_pipeline": _q_curate_pipeline,
         "multimodal_decode": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
         "extract_golden": _q_extract_golden,
     }
 
@@ -1368,6 +1383,20 @@ def oracle_sql() -> dict[str, str]:
               CAST(1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 240 AS INT) AS n_frames,
               CAST(8000 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 40000 AS INT) AS sample_rate
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH meta AS (
+              SELECT doc_id,
+                CAST(1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 240 AS INT)
+                  AS n_frames
+              FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT doc_id, n_frames,
+              array_to_string(
+                [CAST(floor(i * n_frames / least(n_frames, 8)) AS INT)
+                 FOR i IN generate_series(0, least(n_frames, 8) - 1)],
+                ',') AS frame_idx_csv
+            FROM meta
         """,
         # extract_golden: intentionally no oracle — the per-document SAX
         # extraction is not ANSI-SQL-expressible; its gate is the golden

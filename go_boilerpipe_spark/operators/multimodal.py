@@ -62,3 +62,27 @@ def decode_media(df):
     return df.select("doc_id", "payload", "media_type").mapInPandas(
         decode_media_batches, DECODE_SCHEMA
     )
+
+
+def sample_frame_indices(decoded, k: int = 8):
+    """Uniform frame-sampling plan for video rows: k frame indices evenly
+    spaced over n_frames (all frames when n_frames < k), emitted as a CSV
+    string so cross-engine value checks are format-stable. The index math
+    is pure Catalyst (no codec needed); the subsequent frame *decode* is
+    the mapInPandas stub seam. Map-side only — no shuffle."""
+    from pyspark.sql import functions as F
+
+    n = F.col("n_frames")
+    k_eff = F.least(n, F.lit(k))
+    indices = F.transform(
+        F.sequence(F.lit(0), k_eff - 1),
+        lambda i: F.floor(i * n / k_eff).cast("int"),
+    )
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.array_join(indices, ",").alias("frame_idx_csv"),
+        )
+    )

@@ -394,3 +394,23 @@ class TestCuration:
         assert out[1]["mean_df"] > out[2]["mean_df"] > out[3]["mean_df"]
         assert out[3]["mean_df"] == 1.0
         assert out[1]["n_tokens"] == 3 and out[1]["sum_df"] == 6
+
+    def test_sample_frame_indices(self, spark):
+        from go_boilerpipe_spark.operators.multimodal import (
+            decode_media,
+            sample_frame_indices,
+        )
+
+        rows = [(i, bytearray(f"video-{i}".encode()), "video") for i in range(4)]
+        rows.append((9, bytearray(b"img"), "image"))
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, media_type string"
+        )
+        out = {r["doc_id"]: r for r in
+               sample_frame_indices(decode_media(df), k=8).collect()}
+        assert 9 not in out  # image rows excluded
+        for r in out.values():
+            idx = [int(x) for x in r["frame_idx_csv"].split(",")]
+            assert len(idx) == min(r["n_frames"], 8)
+            assert idx == sorted(idx) and idx[0] == 0
+            assert all(0 <= i < r["n_frames"] for i in idx)
