@@ -590,6 +590,46 @@ def _q_multimodal(spark, sf):
     return decode_media(d)
 
 
+def _q_token_budget_pack(spark, sf):
+    """Training-mix assembly: per language, keep the highest-quality docs
+    until a token budget is filled (running int sum over a deterministic
+    order — exact in every engine)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        textstats.token_count_ws(F.col("text")).alias("n_tok"),
+        textstats.quality_score(F.col("text")).alias("q"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return packed.filter(F.col("cum_tok") <= 2500).select(
+        "doc_id", "lang", "n_tok", "cum_tok"
+    )
+
+
+def _q_host_skew(spark, sf):
+    """Crawl-skew audit: docs per host with corpus share — the statistic
+    that justifies the url-hash repartition in the extraction job."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select(urls.url_hostname(_url_col()).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "host", "n_docs", F.round(F.col("n_docs") / total, 6).alias("share")
+    )
+
+
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
@@ -670,6 +710,8 @@ _RAW_QUERIES = {
         "curate_pipeline": _q_curate_pipeline,
         "multimodal_decode": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
+        "token_budget_pack": _q_token_budget_pack,
+        "host_skew": _q_host_skew,
         "extract_golden": _q_extract_golden,
     }
 
@@ -1383,6 +1425,52 @@ def oracle_sql() -> dict[str, str]:
               CAST(1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 240 AS INT) AS n_frames,
               CAST(8000 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 40000 AS INT) AS sample_rate
             FROM documents
+        """,
+        "token_budget_pack": f"""
+            WITH base AS (
+              SELECT doc_id, lang, text, length(text) AS nc,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS n_tok,
+                length(text) - length(regexp_replace(text,
+                  '[\\.,;:!\\?\\-''"()]', '', 'g')) AS np,
+                {_marker_sql("text", textstats.LANG_MARKERS["en"])} AS ns
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, lang, n_tok, round(
+                (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+                (CASE WHEN round(np / greatest(nc, 1), 6)
+                      BETWEEN 0.001 AND 0.3 THEN 0.3 ELSE 0.0 END) +
+                (CASE WHEN round(ns / greatest(n_tok, 1), 6) >= 0.01
+                      THEN 0.3 ELSE 0.0 END), 6) AS q
+              FROM base
+            ), packed AS (
+              SELECT doc_id, lang, n_tok,
+                CAST(sum(n_tok) OVER (PARTITION BY lang
+                  ORDER BY q DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tok
+              FROM scored
+            )
+            SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok, cum_tok
+            FROM packed WHERE cum_tok <= 2500
+        """,
+        "host_skew": f"""
+            WITH h AS (
+              SELECT lower(regexp_extract(
+                CASE WHEN regexp_matches({_URL_EXPR_SQL},
+                       '^[A-Za-z][A-Za-z0-9+.-]*://')
+                     THEN {_URL_EXPR_SQL}
+                     ELSE 'http://' || {_URL_EXPR_SQL} END,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+              FROM documents
+            ), c AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM h
+              GROUP BY host
+            )
+            SELECT host, n_docs,
+              round(n_docs / sum(n_docs) OVER (), 6) AS share
+            FROM c
         """,
         "multimodal_frames": """
             WITH meta AS (
