@@ -590,6 +590,10 @@ def _q_multimodal(spark, sf):
     return decode_media(d)
 
 
+def _q_emb_quantize(spark, sf):
+    return similarity.quantize_int8(_t(spark, sf, "embeddings"))
+
+
 def _q_token_budget_pack(spark, sf):
     """Training-mix assembly: per language, keep the highest-quality docs
     until a token budget is filled (running int sum over a deterministic
@@ -712,6 +716,7 @@ _RAW_QUERIES = {
         "multimodal_frames": _q_multimodal_frames,
         "token_budget_pack": _q_token_budget_pack,
         "host_skew": _q_host_skew,
+        "emb_quantize": _q_emb_quantize,
         "extract_golden": _q_extract_golden,
     }
 
@@ -1425,6 +1430,24 @@ def oracle_sql() -> dict[str, str]:
               CAST(1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 240 AS INT) AS n_frames,
               CAST(8000 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 40000 AS INT) AS sample_rate
             FROM documents
+        """,
+        "emb_quantize": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding])
+                  AS absmax
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, embedding, absmax,
+                CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 1.0 END
+                  AS scale
+              FROM m
+            )
+            SELECT vec_id, round(absmax, 6) AS absmax,
+              array_to_string(
+                [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)
+                 FOR x IN embedding], ',') AS q_csv
+            FROM s
         """,
         "token_budget_pack": f"""
             WITH base AS (

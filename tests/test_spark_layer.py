@@ -414,3 +414,42 @@ class TestCuration:
             assert len(idx) == min(r["n_frames"], 8)
             assert idx == sorted(idx) and idx[0] == 0
             assert all(0 <= i < r["n_frames"] for i in idx)
+
+    def test_ivf_plan_size_constant_in_centroid_count(self, spark):
+        # VERDICT r1 item 3: centroids are data, not expression tree —
+        # the physical plan must not grow with the quantizer size
+        import math
+
+        rows = [(i, [math.sin(i * 1.7 + j) for j in range(8)]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.limit(2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def plan_len(n_cents):
+            cents = emb.filter(F.col("vec_id") < n_cents).select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+            )
+            df = similarity.cosine_topk_ivf(emb, q, cents, k=3, nprobe=2)
+            return len(df._jdf.queryExecution().executedPlan().toString())
+
+        small, big = plan_len(4), plan_len(64)
+        assert abs(big - small) < 0.2 * small, (small, big)
+
+    def test_quantize_int8_roundtrip_error(self, spark):
+        vals = [0.5, -1.0, 0.25, 0.125]
+        emb = spark.createDataFrame(
+            [(1, vals), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+        r1 = out[1]
+        q = [int(x) for x in r1["q_csv"].split(",")]
+        assert max(abs(v) for v in vals) == r1["absmax"]
+        scale = 127.0 / r1["absmax"]
+        for orig, qi in zip(vals, q):
+            assert abs(qi / scale - orig) <= 0.5 / scale + 1e-9
+        assert -128 <= min(q) and max(q) <= 127
+        # zero vector: absmax 0 → scale 1, all-zero codes
+        assert out[2]["q_csv"] == "0,0,0,0"
