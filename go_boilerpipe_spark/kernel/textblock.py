@@ -22,6 +22,20 @@ HEADING1 = 6
 HEADING2 = 7
 HEADING3 = 8
 
+# Label.String() names (generated stringer table, label_string.go:7-16);
+# out-of-range values render as "Label(n)" like the Go fallback.
+_LABEL_NAMES = (
+    "LabelIndicatesEndOfText", "LabelMightBeContent",
+    "LabelVeryLikelyContent", "LabelTitle", "LabelList", "LabelHeading",
+    "LabelHeading1", "LabelHeading2", "LabelHeading3",
+)
+
+
+def label_name(label: int) -> str:
+    if 0 <= label < len(_LABEL_NAMES):
+        return _LABEL_NAMES[label]
+    return f"Label({label})"
+
 
 class TextBlock:
     __slots__ = (

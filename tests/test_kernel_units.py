@@ -184,3 +184,14 @@ class TestDocumentApi:
     def test_to_json_dict_shape(self):
         d = extract_article("<body><p>hello</p></body>").to_json_dict()
         assert set(d) == {"title", "author", "date", "content"}
+
+
+def test_label_names_match_go_stringer():
+    # label_string.go:7-16 generated table + out-of-range fallback
+    from go_boilerpipe_spark.kernel.textblock import label_name
+
+    assert label_name(0) == "LabelIndicatesEndOfText"
+    assert label_name(3) == "LabelTitle"
+    assert label_name(8) == "LabelHeading3"
+    assert label_name(9) == "Label(9)"
+    assert label_name(-1) == "Label(-1)"
