@@ -139,15 +139,26 @@ def main():
     big = _extract_bench(CPUS)
     scaling = None
     if DO_SCALING:
-        n1 = _extract_bench(2, halve=True, trials=2)
-        n4 = _extract_bench(8, halve=True, trials=2)
-        eff = (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0
+        # PAIRED runs: ambient load on a shared box moves absolute rates
+        # ±25%, so N and 4N must be measured back-to-back under the same
+        # load; the median of three such pairs is the reported efficiency.
+        # (Taking each level's best across separated runs mixes loads and
+        # can skew the ratio either way.)
+        pairs = []
+        for _ in range(3):
+            n1 = _extract_bench(2, halve=True, trials=1)
+            n4 = _extract_bench(8, halve=True, trials=1)
+            pairs.append((n1, n4,
+                          (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0))
+        pairs.sort(key=lambda p: p[2])
+        n1, n4, eff = pairs[len(pairs) // 2]  # median pair
         scaling = {
             "n_cores": 2,
             "n4_cores": 8,
             "docs_per_sec_n": n1["docs_per_sec"],
             "docs_per_sec_4n": n4["docs_per_sec"],
             "efficiency": round(eff, 3),
+            "efficiency_pairs": [round(p[2], 3) for p in pairs],
             "output_identical": n1["checksum"] == n4["checksum"]
             and n1["docs"] == n4["docs"],
             "saturation_cores": CPUS,
