@@ -594,6 +594,27 @@ def _q_emb_quantize(spark, sf):
     return similarity.quantize_int8(_t(spark, sf, "embeddings"))
 
 
+def _q_repetition(spark, sf):
+    return curation.repetition_stats(_t(spark, sf, "documents"))
+
+
+def _q_blocklist(spark, sf):
+    d = _t(spark, sf, "documents")
+    # deterministic blocklist: the first two root domains in sort order
+    # (synthetic url root = <source>.com — the last two host labels)
+    blocked = (
+        d.select(
+            F.concat(F.lower(F.col("source")), F.lit(".com")).alias("root")
+        )
+        .distinct()
+        .orderBy("root")
+        .limit(2)
+    )
+    return curation.blocklist_filter(d, blocked, _url_col()).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_token_budget_pack(spark, sf):
     """Training-mix assembly: per language, keep the highest-quality docs
     until a token budget is filled (running int sum over a deterministic
@@ -717,6 +738,8 @@ _RAW_QUERIES = {
         "token_budget_pack": _q_token_budget_pack,
         "host_skew": _q_host_skew,
         "emb_quantize": _q_emb_quantize,
+        "repetition_stats": _q_repetition,
+        "blocklist_filter": _q_blocklist,
         "extract_golden": _q_extract_golden,
     }
 
@@ -1430,6 +1453,35 @@ def oracle_sql() -> dict[str, str]:
               CAST(1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 240 AS INT) AS n_frames,
               CAST(8000 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 40000 AS INT) AS sample_rate
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                array_to_string(toks[i:i+1], ' ') AS bigram
+              FROM t, unnest(generate_series(
+                1, greatest(len(toks) - 1, 1))) u(i)
+            ), counts AS (
+              SELECT doc_id, bigram, count(*) AS c FROM bg
+              GROUP BY doc_id, bigram
+            )
+            SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_bigrams,
+              round(max(c) / CAST(sum(c) AS BIGINT), 6) AS top_bigram_share,
+              round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                    / CAST(sum(c) AS BIGINT), 6) AS dup_bigram_frac
+            FROM counts GROUP BY doc_id
+        """,
+        "blocklist_filter": f"""
+            WITH blocked AS (
+              SELECT DISTINCT lower(source) || '.com' AS root
+              FROM documents ORDER BY root LIMIT 2
+            )
+            SELECT doc_id, lang, source FROM documents d
+            WHERE lower(d.source) || '.com' NOT IN (SELECT root FROM blocked)
         """,
         "emb_quantize": """
             WITH m AS (

@@ -153,6 +153,74 @@ def doc_token_rarity(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals, integer-exact:
+
+    - ``top_bigram_share``: occurrences of the doc's most frequent word
+      bigram / total bigrams (template/spam pages repeat one phrase);
+    - ``dup_bigram_frac``: fraction of bigram positions whose bigram
+      occurs more than once within the doc.
+
+    One explode + one shuffle on (doc, bigram) — uniform keys; ratios are
+    divisions of exact BIGINTs so the oracle hash-matches."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(1))
+    idx = F.sequence(F.lit(1), n_bg)
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")
+        ).alias("_bgs"),
+    )
+    bg = staged.select(id_col, F.explode("_bgs").alias("bigram"))
+    counts = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_c"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_share"
+            ),
+            F.round(F.col("dup_c") / F.col("n_bigrams"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_roots: DataFrame,
+    url_col,
+    root_col: str = "root",
+) -> DataFrame:
+    """Drop docs whose url root domain is on a blocklist — a broadcast
+    LEFT ANTI join (the blocklist is tiny; the corpus never shuffles)."""
+    from ..functions.urls import url_root
+
+    keyed = docs.withColumn("_root", url_root(url_col))
+    return (
+        keyed.join(
+            F.broadcast(blocked_roots.select(F.col(root_col).alias("_root"))),
+            "_root",
+            "left_anti",
+        )
+        .drop("_root")
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 20,

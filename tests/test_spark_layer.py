@@ -453,3 +453,32 @@ class TestCuration:
         assert -128 <= min(q) and max(q) <= 127
         # zero vector: absmax 0 → scale 1, all-zero codes
         assert out[2]["q_csv"] == "0,0,0,0"
+
+    def test_repetition_stats_flags_spam(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "buy now " * 20),                       # one bigram repeated
+             (2, "each word here appears exactly once today friends")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               curation.repetition_stats(docs).collect()}
+        assert out[1]["top_bigram_share"] > 0.4
+        assert out[1]["dup_bigram_frac"] > 0.9
+        assert out[2]["dup_bigram_frac"] == 0.0
+
+    def test_blocklist_filter_anti_join(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "http://a.spam.com/x"), (2, "http://ok.site.org/y"),
+             (3, "https://www.spam.com/z")],
+            "doc_id long, url string",
+        )
+        blocked = spark.createDataFrame([("spam.com",)], "root string")
+        kept = curation.blocklist_filter(docs, blocked, F.col("url"))
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+        # plan: broadcast anti-join, corpus side unshuffled
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "Broadcast" in plan
