@@ -543,12 +543,17 @@ def _q_ann_recall(spark, sf):
         truth, similarity.cosine_topk_lsh_multiprobe(e, q, k=10, h=8),
         "lsh_multiprobe",
     )
+    lsh2 = _recall_vs(
+        truth,
+        similarity.cosine_topk_lsh_multiprobe(e, q, k=10, h=8, flips=2),
+        "lsh_multiprobe2",
+    )
     ivf = _recall_vs(
         truth,
         similarity.cosine_topk_ivf(e, q, _ivf_centroids(e), k=10, nprobe=2),
         "ivf_nprobe2",
     )
-    return lsh.unionByName(ivf)
+    return lsh.unionByName(lsh2).unionByName(ivf)
 
 
 def _q_lang_confusion(spark, sf):
@@ -1244,6 +1249,29 @@ def oracle_sql() -> dict[str, str]:
               FROM pscored
             ), probe_lsh AS (
               SELECT query_id, vec_id FROM pranked WHERE rank <= 10
+            ), qb2 AS (
+              SELECT query_id, qv,
+                unnest([CAST({_bucket_sql("qv")} AS BIGINT)] ||
+                       [xor(CAST({_bucket_sql("qv")} AS BIGINT),
+                            CAST(2**i AS BIGINT))
+                        FOR i IN generate_series(0, 7)] ||
+                       flatten([[xor(CAST({_bucket_sql("qv")} AS BIGINT),
+                                     CAST(2**i + 2**j AS BIGINT))
+                                 FOR j IN generate_series(i + 1, 7)]
+                                FOR i IN generate_series(0, 7)]))
+                  AS bucket
+              FROM q
+            ), pscored2 AS (
+              SELECT DISTINCT qb2.query_id, eb.vec_id,
+                round({_cos_expr_sql("eb.embedding", "qb2.qv")}, 5) AS cosine
+              FROM eb JOIN qb2 ON eb.bucket = qb2.bucket
+            ), pranked2 AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM pscored2
+            ), probe_lsh2 AS (
+              SELECT query_id, vec_id FROM pranked2 WHERE rank <= 10
             ), c AS (
               SELECT vec_id AS cid, embedding AS cv FROM embeddings
               WHERE vec_id BETWEEN 5 AND 8
@@ -1286,10 +1314,19 @@ def oracle_sql() -> dict[str, str]:
               JOIN probe_ivf p
                 ON t.query_id = p.query_id AND t.vec_id = p.vec_id
               GROUP BY t.query_id
+            ), hits_lsh2 AS (
+              SELECT t.query_id, count(*) AS h FROM truth t
+              JOIN probe_lsh2 p
+                ON t.query_id = p.query_id AND t.vec_id = p.vec_id
+              GROUP BY t.query_id
             ), qids AS (SELECT DISTINCT query_id FROM truth)
             SELECT 'lsh_multiprobe' AS method, qids.query_id,
               round(coalesce(h.h, 0) / 10.0, 2) AS recall_at_10
             FROM qids LEFT JOIN hits_lsh h ON qids.query_id = h.query_id
+            UNION ALL
+            SELECT 'lsh_multiprobe2' AS method, qids.query_id,
+              round(coalesce(h.h, 0) / 10.0, 2) AS recall_at_10
+            FROM qids LEFT JOIN hits_lsh2 h ON qids.query_id = h.query_id
             UNION ALL
             SELECT 'ivf_nprobe2' AS method, qids.query_id,
               round(coalesce(h.h, 0) / 10.0, 2) AS recall_at_10

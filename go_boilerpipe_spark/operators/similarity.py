@@ -202,11 +202,20 @@ def cosine_topk_ivf(
     )
 
 
-def sign_lsh_buckets_multiprobe(vec, h: int = 8):
-    """The base bucket plus its h one-bit-flip perturbations (multi-probe:
-    the standard recall/cost knob for sign LSH)."""
+def sign_lsh_buckets_multiprobe(vec, h: int = 8, flips: int = 1):
+    """The base bucket plus all perturbations within ``flips`` bit flips
+    (multi-probe: the standard recall/cost knob for sign LSH —
+    flips=1 → h+1 probes, flips=2 → h+1+C(h,2) probes; still a vanishing
+    fraction of the 2^h buckets)."""
     base = sign_lsh_bucket(vec, h)
-    return F.array(base, *[base.bitwiseXOR(F.lit(2 ** i)) for i in range(h)])
+    probes = [base] + [base.bitwiseXOR(F.lit(2 ** i)) for i in range(h)]
+    if flips >= 2:
+        probes += [
+            base.bitwiseXOR(F.lit((2 ** i) | (2 ** j)))
+            for i in range(h)
+            for j in range(i + 1, h)
+        ]
+    return F.array(*probes)
 
 
 def cosine_topk_lsh_multiprobe(
@@ -214,16 +223,20 @@ def cosine_topk_lsh_multiprobe(
     queries: DataFrame,
     k: int = 10,
     h: int = 8,
+    flips: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Sign-LSH ANN probing the query's bucket and all 1-bit neighbors."""
+    """Sign-LSH ANN probing the query's bucket and all neighbors within
+    ``flips`` bit flips."""
     e = emb.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), h))
     q = queries.withColumn(
         "bucket",
-        F.explode(sign_lsh_buckets_multiprobe(F.col(query_vec_col), h)),
+        F.explode(
+            sign_lsh_buckets_multiprobe(F.col(query_vec_col), h, flips)
+        ),
     )
     joined = e.join(F.broadcast(q), "bucket")
     scored = joined.select(
