@@ -674,6 +674,15 @@ def _q_multimodal_frames(spark, sf):
     return sample_frame_indices(decode_media(d), k=8)
 
 
+def _q_pdf_parse(spark, sf):
+    from go_boilerpipe_spark.operators.pdf import parse_pdfs
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return parse_pdfs(d)
+
+
 def _q_extract_golden(spark, sf):
     # flagship through the queries surface (rows-only check: the per-doc
     # SAX extraction is not ANSI-SQL-expressible; pytest is its gate)
@@ -740,6 +749,7 @@ _RAW_QUERIES = {
         "curate_pipeline": _q_curate_pipeline,
         "multimodal_decode": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
+        "pdf_parse": _q_pdf_parse,
         "token_budget_pack": _q_token_budget_pack,
         "host_skew": _q_host_skew,
         "emb_quantize": _q_emb_quantize,
@@ -1597,6 +1607,25 @@ def oracle_sql() -> dict[str, str]:
                  FOR i IN generate_series(0, least(n_frames, 8) - 1)],
                 ',') AS frame_idx_csv
             FROM meta
+        """,
+        "pdf_parse": """
+            WITH m AS (
+              SELECT doc_id,
+                CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 32
+                     AS INT) AS n_pages,
+                substr(md5(text), 1, 8) AS h8
+              FROM documents
+            ), t AS (
+              SELECT doc_id, n_pages,
+                array_to_string(
+                  ['page ' || p || ' ' || h8
+                   FOR p IN generate_series(0, n_pages - 1)],
+                  chr(10)) AS text
+              FROM m
+            )
+            SELECT doc_id, n_pages, CAST(length(text) AS INT) AS n_chars,
+              text, CAST(NULL AS VARCHAR) AS parse_error
+            FROM t
         """,
         # extract_golden: intentionally no oracle — the per-document SAX
         # extraction is not ANSI-SQL-expressible; its gate is the golden

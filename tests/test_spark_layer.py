@@ -482,3 +482,21 @@ class TestCuration:
         # plan: broadcast anti-join, corpus side unshuffled
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan and "Broadcast" in plan
+
+    def test_pdf_parse_plumbing(self, spark):
+        from go_boilerpipe_spark.operators.pdf import parse_pdfs
+
+        rows = [(1, bytearray(b"doc one")), (2, None), (3, bytearray(b""))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in parse_pdfs(df).collect()}
+        assert out[2]["parse_error"] == "payload is null"
+        assert out[1]["parse_error"] is None
+        assert 1 <= out[1]["n_pages"] <= 32
+        assert out[1]["text"].count("\n") == out[1]["n_pages"] - 1
+        assert out[1]["n_chars"] == len(out[1]["text"])
+        # deterministic: same payload, same output
+        again = {r["doc_id"]: r for r in parse_pdfs(df).collect()}
+        assert again[1] == out[1]
+        # column pruning reaches the scan-side projection
+        plan = parse_pdfs(df)._jdf.queryExecution().executedPlan().toString()
+        assert "doc_id" in plan and "payload" in plan
