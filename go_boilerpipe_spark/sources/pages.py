@@ -15,7 +15,6 @@ the thing ``repartition(P, xxhash64(url))`` exists to defuse.
 
 from __future__ import annotations
 
-import datetime
 import json
 import pathlib
 
