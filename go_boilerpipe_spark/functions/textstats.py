@@ -12,12 +12,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Deterministic marker-word sets for the n-gram language-ID heuristic.
+# Deterministic marker-word sets for the n-gram language-ID heuristic:
+# high-frequency function words, disjoint enough to discriminate. One
+# regexp_count alternation per language keeps the plan within codegen
+# limits regardless of list size.
 LANG_MARKERS = {
-    "en": ("the", "and", "of", "to", "is"),
-    "de": ("der", "die", "und", "das", "ist"),
-    "fr": ("le", "la", "les", "et", "est"),
-    "es": ("el", "los", "las", "es", "una"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was",
+           "for", "with", "his", "they", "this", "have"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "eine",
+           "mit", "auf", "für", "sich", "dem", "den", "auch"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "qui",
+           "pas", "pour", "vous", "des", "sur", "mais"),
+    "es": ("el", "los", "las", "es", "una", "que", "en", "por", "con",
+           "para", "del", "se", "su", "como", "más"),
 }
 
 
