@@ -311,9 +311,11 @@ class ContentHandler:
         if not data:
             return
 
-        # fast path: the two single-char whitespace tokens that dominate
-        # markup-dense HTML ("\n" between tags, " " from entity-free gaps)
-        if data == "\n" or data == " ":
+        # fast path: all-whitespace tokens (newline+indent runs between
+        # tags dominate markup-dense HTML). strip(GO_SPACE) is the exact
+        # Go White_Space set, so this is equivalent to the spaceRemover
+        # with empty collapsed text and was_first == was_last == True.
+        if not data.strip(GO_SPACE):
             if not self.last_was_whitespace:
                 self.text_buffer.append(" ")
                 self.token_buffer.append(" ")
