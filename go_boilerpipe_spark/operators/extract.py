@@ -210,6 +210,41 @@ def extract_articles_debug(df):
     )
 
 
+def extract_articles_deduped(
+    df, parallelism: int | None = None, repartition: bool = True
+):
+    """Extraction that runs the kernel ONCE per distinct html payload.
+
+    Real crawls re-fetch byte-identical pages constantly (mirrors,
+    recrawls, redirect aliases); with this operator the Python-kernel
+    cost scales with UNIQUE bytes while every url still gets its row.
+    Plan: hash → dropDuplicates(hash) → mapInArrow over uniques → join
+    results back on the hash. Two shuffles are added (dedup + join, both
+    on the uniform 128-bit hash), which pays off whenever
+    dup_rate × kernel_cost exceeds the shuffle cost — true for any
+    CPU-bound kernel at crawl dup rates. For an already-deduped source
+    use plain :func:`extract_articles` (no extra exchanges)."""
+    from pyspark.sql import functions as F
+
+    # sentinel for null html (null join keys never match; the null-html
+    # error row must still reach every affected url)
+    keyed = df.select("url", "html").withColumn(
+        "_h", F.coalesce(F.md5(F.col("html")), F.lit("__null_html__"))
+    )
+    uniq = (
+        keyed.select(F.col("_h").alias("url"), "html")  # hash rides as url
+        .dropDuplicates(["url"])
+    )
+    if repartition:
+        if parallelism:
+            uniq = uniq.repartition(parallelism, F.xxhash64("url"))
+        else:
+            uniq = uniq.repartition(F.xxhash64("url"))
+    ext = uniq.mapInArrow(extract_record_batches, OUTPUT_SCHEMA_DDL)
+    ext = ext.withColumnRenamed("url", "_h")
+    return keyed.drop("html").join(ext, "_h").drop("_h")
+
+
 def extract_articles(df, parallelism: int | None = None, repartition: bool = True):
     """Declare the extraction over a pages DataFrame.
 

@@ -500,3 +500,20 @@ class TestCuration:
         # column pruning reaches the scan-side projection
         plan = parse_pdfs(df)._jdf.queryExecution().executedPlan().toString()
         assert "doc_id" in plan and "payload" in plan
+
+    def test_extract_deduped_matches_plain(self, spark, corpus):
+        # crawl-dedup extraction: same per-url results as the plain
+        # operator (including null-html error rows), kernel runs once per
+        # unique payload
+        from go_boilerpipe_spark.operators.extract import (
+            extract_articles,
+            extract_articles_deduped,
+        )
+
+        pages = spark.read.parquet(corpus)
+        plain = {r["url"]: (r["title"], r["content"], r["parse_error"])
+                 for r in extract_articles(pages, parallelism=8).collect()}
+        dedup_ = {r["url"]: (r["title"], r["content"], r["parse_error"])
+                  for r in extract_articles_deduped(pages, parallelism=8).collect()}
+        assert plain == dedup_
+        assert sum(1 for v in plain.values() if v[2] is not None) == 4
