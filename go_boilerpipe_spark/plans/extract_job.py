@@ -63,8 +63,13 @@ class ExtractJob:
         chunk_target_bytes: int = 1 << 30,
         repartition: bool = True,
         langs: tuple[str, ...] | None = None,
+        dedup_payloads: bool = False,
         catalog=None,
     ):
+        """``dedup_payloads=True`` extracts once per distinct html within
+        each chunk (operators.extract.extract_articles_deduped) — worth it
+        on raw crawls with high refetch rates; chunk-local only, so global
+        dedup still belongs to the dedup operators downstream."""
         self.spark = spark
         self.catalog = catalog or get_catalog(spark)
         self.source = source
@@ -73,6 +78,7 @@ class ExtractJob:
         self.chunk_target_bytes = chunk_target_bytes
         self.repartition = repartition
         self.langs = langs
+        self.dedup_payloads = dedup_payloads
         self.manifest_dir = os.path.join(sink, "_manifest")
         self.lineage_dir = os.path.join(sink, "_lineage")
 
@@ -133,7 +139,10 @@ class ExtractJob:
         if self.langs:
             df = df.filter(F.col("lang").isin(*self.langs))
 
-        extracted = extract_articles(
+        op = extract_articles
+        if self.dedup_payloads:
+            from ..operators.extract import extract_articles_deduped as op
+        extracted = op(
             df, parallelism=self.parallelism, repartition=self.repartition
         ).withColumn("part_id", F.spark_partition_id())
 

@@ -158,3 +158,15 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     # normalized urls: ?rep=k aliases collapse to the 7 base documents
     out_n = drain("dedup_stream_norm", "ck_norm", normalize=True)
     assert out_n.count() == 7
+
+
+def test_job_dedup_payloads_same_output(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    write_pages_table(spark, src, 28, partitions=2)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sa = ExtractJob(spark, src, a, parallelism=4).run()
+    sb = ExtractJob(spark, src, b, parallelism=4, dedup_payloads=True).run()
+    assert sa["docs_out"] == sb["docs_out"] == 28
+    ra = {r["url"]: r["content"] for r in read_extracted(spark, a).collect()}
+    rb = {r["url"]: r["content"] for r in read_extracted(spark, b).collect()}
+    assert ra == rb
