@@ -517,3 +517,26 @@ class TestCuration:
                   for r in extract_articles_deduped(pages, parallelism=8).collect()}
         assert plain == dedup_
         assert sum(1 for v in plain.values() if v[2] is not None) == 4
+
+    def test_curation_plan_shapes(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "zh") for i in range(50)],
+            "doc_id long, lang string",
+        )
+        # stratified sampling: pure filter, zero exchanges
+        plan = (
+            curation.stratified_sample(df, "lang", {"en": 0.5})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        # contamination: broadcast join, corpus side unshuffled
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        probes = spark.createDataFrame([(9, "b")], "probe_id long, phrase string")
+        plan2 = (
+            curation.contamination_pairs(docs, probes)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Broadcast" in plan2
+        assert "Exchange hashpartitioning" not in plan2
