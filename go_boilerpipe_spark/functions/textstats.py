@@ -29,15 +29,22 @@ LANG_MARKERS = {
 
 
 def _marker_hits(text_lc: Column, words) -> Column:
-    """Count occurrences of ' word ' markers (space-delimited hits).
+    """Count whitespace-delimited tokens that are in the marker set.
 
     ONE regexp_count over an alternation per marker set (VERDICT r1
     item 5: the per-word replace-length chain blew past whole-stage-codegen
-    limits — 20 string replaces per language — falling back to interpreted
-    eval with a ~5 s per-query compile cost). Leftmost non-overlapping
-    match semantics are identical in Java regex and DuckDB's RE2, so the
-    oracle twin uses the same pattern."""
-    padded = F.concat(F.lit(" "), text_lc, F.lit(" "))
+    limits). A naive ``' (w1|w2) '`` count undercounts ADJACENT markers
+    because the match consumes the shared trailing space ('of the' -> 1):
+    ADVICE r2. Fix: first widen every whitespace run to TWO spaces, so each
+    token keeps a private delimiter on both sides; then each marker token
+    matches exactly once. This equals len([t for t in text.split() if t in
+    words]) — the intended semantics — and also now counts markers
+    separated by tabs/newlines, which the old space-only pattern missed.
+    Leftmost non-overlapping match semantics are identical in Java regex
+    and DuckDB's RE2, so the oracle twin uses the same two expressions."""
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(text_lc, r"\s+", "  "), F.lit(" ")
+    )
     pat = " (" + "|".join(words) + ") "
     return F.regexp_count(padded, F.lit(pat)).cast("int")
 

@@ -66,6 +66,17 @@ _RE_VALID_WORD_CHARACTER = re.compile("[" + LETTER_CLASS + NUMERIC_WORD_CLASS + 
 _TOKEN_PUNCT = frozenset("\"'.,!@-:;$?()/")
 
 
+def _junction_slow(p: str, lead: bool, trail: bool) -> str:
+    """Rare path for junction pieces that contain a literal U+2063: run the
+    original marker-machine regexes over the piece with its word-adjacent
+    edge markers attached. Marker runs cannot cross word characters, so
+    per-piece processing is exactly equivalent to the whole-string passes
+    (content_handler.go:243-255)."""
+    s = ("⁣" if lead else "") + p + ("⁣" if trail else "")
+    s = "".join(_RE_NOT_WORD_BOUNDARY.split(s))
+    return _RE_INVISIBLE_SEPARATOR.sub(" ", s)
+
+
 def tokenize(text: str):
     """content_handler.go:243-255 (UnicodeTokenizer port).
 
@@ -75,36 +86,52 @@ def tokenize(text: str):
     piece between words: the word-adjacent marker survives (→ space,
     separating tokens) iff the piece's adjacent char is NOT one of the
     listed punctuation chars. One capturing split + a parts walk computes
-    exactly that; tests/test_kernel_units.py pins the equivalence."""
+    exactly that; tests/test_tokenize_differential.py pins the equivalence
+    (alphabet includes literal U+2063). Pieces containing a literal U+2063
+    take _junction_slow, which reproduces the marker-run merge semantics."""
     text = text.strip(GO_SPACE)
     parts = _RE_WORD_BOUNDARY_CAP.split(text)
     np = len(parts)
     if np == 1:
-        # no words: only the space-split pass applies
+        # no words: the punctuation-marker and marker-run passes still
+        # apply to literal U+2063 input, then the space split
+        if "⁣" in text:
+            text = _junction_slow(text, False, False).strip(GO_SPACE)
         if not text:
             return [""]
         return [t for t in text.split(" ") if t]
     P = _TOKEN_PUNCT
-    buf = [parts[0]]
-    ap = buf.append
-    if not (parts[0] and parts[0][-1] in P):
-        ap(" ")
+    p = parts[0]
+    if "⁣" in p:
+        buf = [_junction_slow(p, False, True)]
+        ap = buf.append
+    else:
+        buf = [p]
+        ap = buf.append
+        if not (p and p[-1] in P):
+            ap(" ")
     last = np - 1
     for k in range(1, last, 2):
         ap(parts[k])  # the word run
         p = parts[k + 1]
         if k + 1 == last:
             # trailing piece: only its leading edge touches a marker
-            if not (p and p[0] in P):
-                ap(" ")
-            ap(p)
+            if "⁣" in p:
+                ap(_junction_slow(p, True, False))
+            else:
+                if not (p and p[0] in P):
+                    ap(" ")
+                ap(p)
         else:
             # interior junction: both edges touch markers
-            if p[0] not in P:
-                ap(" ")
-            ap(p)
-            if p[-1] not in P:
-                ap(" ")
+            if "⁣" in p:
+                ap(_junction_slow(p, True, True))
+            else:
+                if p[0] not in P:
+                    ap(" ")
+                ap(p)
+                if p[-1] not in P:
+                    ap(" ")
     text = "".join(buf).strip(GO_SPACE)
     # "[ ]+"-split via str.split: runs collapse to interior '' entries,
     # dropped by the filter; the one observable difference is the empty

@@ -38,7 +38,7 @@ def marker_machine_tokenize(text):
 
 ALPHABET = (
     list("abz ABZ 019 _ .,!@-:;$?()/ \"'€…中文\t\xa0~^&*[]{}=+<>#%")
-    + ["ß", "é", "  ", "--", "..", "' "]
+    + ["ß", "é", "  ", "--", "..", "' ", "⁣", "⁣⁣", "⁣.", ".⁣", "a⁣b"]
 )
 
 HAND_CASES = [
@@ -56,6 +56,18 @@ HAND_CASES = [
     "x" * 200,
     ". . .",
     "-leading and trailing-",
+    # literal U+2063 in the input (the ADVICE r2 divergence): the marker
+    # machine merges input markers with the word-wrap markers
+    "a⁣.b",
+    "a⁣b",
+    "⁣",
+    "⁣⁣⁣",
+    "a⁣",
+    "⁣a",
+    ".⁣.",
+    "⁣.⁣",
+    "x ⁣, y",
+    "⁣-word-⁣",
 ]
 
 

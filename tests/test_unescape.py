@@ -34,6 +34,15 @@ TEXT_CASES = [
     ("&;", "&;"),
     ("a & b &amp; c", "a & b & c"),
     ("&acE;", "∾̳"),         # two-codepoint entity
+    # ≥10-digit numeric refs wrap like Go's int32 rune arithmetic
+    # (VERDICT r2 item 8): residue mod 2^32, negative int32 → U+FFFD,
+    # wrapped-POSITIVE values alias to real codepoints
+    ("&#4294967361;", "A"),           # 2^32 + 65 wraps to 'A'
+    ("&#4294967296;", "�"),      # 2^32 wraps to 0 → RuneError
+    ("&#2147483648;", "�"),      # 2^31: negative int32 → RuneError
+    ("&#12884901988;", "d"),          # 3·2^32 + 100 wraps to 'd'
+    ("&#x100000041;", "A"),           # hex wrap: 0x1_0000_0041 → 'A'
+    ("&#4294968346;", "К"),      # 2^32 + 1050 → Cyrillic К
 ]
 
 ATTR_CASES = [
