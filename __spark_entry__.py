@@ -126,12 +126,11 @@ def _url_adv_col():
 
 
 def _marker_sql(col: str, words) -> str:
-    """SQL twin of textstats._marker_hits (same alternation, same RE2/Java
-    leftmost non-overlapping count semantics)."""
+    """SQL twin of textstats._marker_hits (same whitespace-run widening +
+    alternation, same RE2/Java leftmost non-overlapping count semantics)."""
     pat = " (" + "|".join(words) + ") "
-    return (
-        f"len(regexp_extract_all(' ' || lower({col}) || ' ', '{pat}'))"
-    )
+    widened = f"regexp_replace(lower({col}), '\\s+', '  ', 'g')"
+    return f"len(regexp_extract_all(' ' || {widened} || ' ', '{pat}'))"
 
 
 def _marker_sql_old(col: str, words) -> str:
@@ -534,11 +533,16 @@ def _recall_vs(truth, probe_df, method):
 
 def _q_ann_recall(spark, sf):
     # recall@10 vs exact brute force, per query, for each ANN path:
-    # multi-probe sign-LSH and IVF with nprobe=2
+    # multi-probe sign-LSH and IVF with nprobe=2. The embedding base and
+    # the brute-force truth are persisted: truth is referenced by all three
+    # arms and the base by four subtrees — without the cache each arm
+    # re-scans and re-scores from parquet (VERDICT r2 item 7).
     e, q = _queries_emb(spark, sf)
+    e = e.persist()
+    q = q.persist()
     truth = similarity.cosine_topk(e, q, k=10).select(
         "query_id", F.col("vec_id").alias("tv")
-    )
+    ).persist()
     lsh = _recall_vs(
         truth, similarity.cosine_topk_lsh_multiprobe(e, q, k=10, h=8),
         "lsh_multiprobe",
@@ -645,18 +649,22 @@ def _q_token_budget_pack(spark, sf):
 
 def _q_host_skew(spark, sf):
     """Crawl-skew audit: docs per host with corpus share — the statistic
-    that justifies the url-hash repartition in the extraction job."""
-    from pyspark.sql import Window
+    that justifies the url-hash repartition in the extraction job.
 
+    The corpus total is a scalar aggregate cross-joined back (broadcast of
+    ONE row), not a global `sum() over ()` window — the window funnels all
+    per-host counts through a single partition, which at 10^8 hosts is a
+    straggler (VERDICT r2 item 9)."""
     d = _t(spark, sf, "documents")
     counts = (
         d.select(urls.url_hostname(_url_col()).alias("host"))
         .groupBy("host")
         .agg(F.count("*").alias("n_docs"))
     )
-    total = F.sum("n_docs").over(Window.partitionBy())
-    return counts.select(
-        "host", "n_docs", F.round(F.col("n_docs") / total, 6).alias("share")
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "host", "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
     )
 
 

@@ -283,11 +283,11 @@ def embedding_near_dup_pairs(
     vectors share sign patterns, so recall at ≥0.95 cosine is high while
     the join never goes quadratic. ``max_bucket_size`` caps bucket fan-in
     before the self-join (identical embeddings all share one bucket)."""
-    from .similarity import _cosine, sign_lsh_bucket
+    from .similarity import cosine_batched, sign_lsh_bucket_batched
 
     b = emb.select(
         F.col(id_col), F.col(vec_col),
-        sign_lsh_bucket(F.col(vec_col), h).alias("bucket"),
+        sign_lsh_bucket_batched(F.col(vec_col), h).alias("bucket"),
     )
     if max_bucket_size is not None:
         b = _cap_buckets(b, max_bucket_size)
@@ -299,7 +299,7 @@ def embedding_near_dup_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
-        F.round(_cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 5).alias(
+        F.round(cosine_batched(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 5).alias(
             "cosine"
         ),
     )
@@ -350,53 +350,83 @@ def duplicate_clusters(
 ) -> DataFrame:
     """Connected components over the near-dup candidate graph: every doc
     gets the smallest doc id reachable through ``pairs`` as its
-    ``cluster_id`` (singletons map to themselves).
+    ``cluster_id`` (singletons map to themselves; string ids use the
+    lexicographic min — no numeric-cast assumption, ADVICE r2).
 
-    Min-label propagation: each round, a vertex takes the min of its own
-    label and its neighbors' labels; stop when a round changes nothing.
-    Rounds ≤ graph diameter (dup clusters are shallow in practice); each
-    round is one shuffle on the vertex id, and the frontier is cached and
-    localCheckpointed so lineage stays flat. At 10^12-doc scale swap the
-    propagation for the large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce") — same join/agg shuffle pattern,
-    provably O(log n) rounds."""
+    Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each phase is one groupBy-min +
+    one join on the grouping key (AQE co-partitions them), with NO
+    per-node neighbor lists collected — a 10^8-degree hot node streams
+    through the aggregate. Converges in O(log n) rounds on ANY graph shape
+    (a 100-doc pairwise chain takes ~7 rounds where min-label propagation
+    takes 100); tests/test_spark_layer.py asserts the round count.
+    Convergence is detected by edge-set equality (count + exceptAll), not
+    a numeric label digest, so non-numeric ids are safe under ANSI mode.
+
+    Returns (id_col, cluster_id) with ``last_rounds`` recorded on the
+    function object for round-count assertions."""
     from pyspark.sql import functions as F
 
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .cache()
-    )
-    labels = ids.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("lab")
+    def canon(e):
+        # canonical star orientation: big -> small
+        return e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+
+    def large_star(e):
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # orient towards the smaller endpoint, group by the bigger
+        d = canon(e)
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            d.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        center = mins.select(F.col("u"), F.col("m").alias("v"))
+        return moved.union(center).filter(F.col("u") != F.col("v")).distinct()
+
+    edges = canon(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     ).localCheckpoint()
-    # Convergence check without an extra join: labels are non-increasing
-    # under min-propagation, so the label sum strictly decreases until the
-    # fixpoint — equal sums ⇒ no label changed. decimal(38,0) so the sum
-    # cannot overflow even at 10^12 vertices with 10^12-sized ids.
-    lab_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
-    cur = labels.agg(lab_sum).collect()[0][0]
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.v)
-            .groupBy("dst")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.dst, "left")
-            .select(
-                "v",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+    n_edges = edges.count()
+    rounds = 0
+    if n_edges > 0:
+        for _ in range(max_iter):
+            rounds += 1
+            new_edges = canon(small_star(large_star(edges))).localCheckpoint()
+            new_n = new_edges.count()
+            unchanged = (
+                new_n == n_edges
+                and new_edges.exceptAll(edges).limit(1).count() == 0
             )
-            .localCheckpoint()
+            edges, n_edges = new_edges, new_n
+            if unchanged:
+                break
+    duplicate_clusters.last_rounds = rounds
+
+    # at the fixpoint every non-min vertex has exactly one edge to its
+    # component min: edges IS the cluster map
+    star = edges.select(F.col("u").alias("_v"), F.col("v").alias("_lab"))
+    return (
+        ids.select(F.col(id_col))
+        .join(star, F.col(id_col) == F.col("_v"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_lab", F.col(id_col)).alias("cluster_id"),
         )
-        new = labels.agg(lab_sum).collect()[0][0]
-        if new == cur:
-            break
-        cur = new
-    edges.unpersist()
-    return labels.select(F.col("v").alias(id_col), F.col("lab").alias("cluster_id"))
+    )
 
 
 def jaccard_verify_pairs(

@@ -159,6 +159,49 @@ def _make_batch(urls, titles, authors, dates, contents, nbs, ncbs, errs):
     )
 
 
+class PartitionCountersParam:
+    """AccumulatorParam merging {partition_id: [docs_out, parse_errors,
+    content_chars]} dicts — the per-partition lineage counters, accumulated
+    INSIDE the extraction kernel so lineage needs zero post-write scans of
+    the chunk (VERDICT r2 item 4). Updates are applied once per successful
+    task (Spark's action-stage accumulator contract)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            cur = a.get(k)
+            if cur is None:
+                a[k] = list(v)
+            else:
+                a[k] = [cur[0] + v[0], cur[1] + v[1], cur[2] + v[2]]
+        return a
+
+
+def _counting_kernel(counters):
+    """Wrap the Arrow kernel with per-task counter accumulation: one local
+    tally per task, ONE accumulator update at iterator exhaustion."""
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        docs = errs = chars = 0
+        for out in extract_record_batches(batches):
+            docs += out.num_rows
+            err_col = out.column("parse_error")
+            errs += out.num_rows - err_col.null_count
+            s = pc.sum(pc.utf8_length(out.column("content")))
+            if s.is_valid:
+                chars += s.as_py()
+            yield out
+        counters.add({pid: [docs, errs, chars]})
+
+    return kernel
+
+
 DEBUG_SCHEMA_DDL = (
     "url string, content string, filter_names array<string>, "
     "blocks_after array<int>, content_blocks_after array<int>"
@@ -211,7 +254,8 @@ def extract_articles_debug(df):
 
 
 def extract_articles_deduped(
-    df, parallelism: int | None = None, repartition: bool = True
+    df, parallelism: int | None = None, repartition: bool = True,
+    counters=None,
 ):
     """Extraction that runs the kernel ONCE per distinct html payload.
 
@@ -240,12 +284,16 @@ def extract_articles_deduped(
             uniq = uniq.repartition(parallelism, F.xxhash64("url"))
         else:
             uniq = uniq.repartition(F.xxhash64("url"))
-    ext = uniq.mapInArrow(extract_record_batches, OUTPUT_SCHEMA_DDL)
+    kernel = extract_record_batches if counters is None else _counting_kernel(counters)
+    ext = uniq.mapInArrow(kernel, OUTPUT_SCHEMA_DDL)
     ext = ext.withColumnRenamed("url", "_h")
     return keyed.drop("html").join(ext, "_h").drop("_h")
 
 
-def extract_articles(df, parallelism: int | None = None, repartition: bool = True):
+def extract_articles(
+    df, parallelism: int | None = None, repartition: bool = True,
+    counters=None,
+):
     """Declare the extraction over a pages DataFrame.
 
     ``df`` needs (url, html); extra columns are pruned here so Catalyst can
@@ -253,6 +301,9 @@ def extract_articles(df, parallelism: int | None = None, repartition: bool = Tru
     ``repartition=True`` shuffles on xxhash64(url) to defuse host-level
     skew in crawl-ordered input; set False when the source is already
     well-split (columnar, uniform) to avoid shuffling the full corpus.
+    ``counters``: optional dict accumulator (PartitionCountersParam)
+    updated inside the kernel with per-partition lineage counters, so the
+    job layer never re-reads the written output.
     """
     from pyspark.sql import functions as F
 
@@ -262,4 +313,5 @@ def extract_articles(df, parallelism: int | None = None, repartition: bool = Tru
             pruned = pruned.repartition(parallelism, F.xxhash64("url"))
         else:
             pruned = pruned.repartition(F.xxhash64("url"))
-    return pruned.mapInArrow(extract_record_batches, OUTPUT_SCHEMA_DDL)
+    kernel = extract_record_batches if counters is None else _counting_kernel(counters)
+    return pruned.mapInArrow(kernel, OUTPUT_SCHEMA_DDL)

@@ -74,10 +74,15 @@ def sample_frame_indices(decoded, k: int = 8):
 
     n = F.col("n_frames")
     k_eff = F.least(n, F.lit(k))
-    indices = F.transform(
-        F.sequence(F.lit(0), k_eff - 1),
-        lambda i: F.floor(i * n / k_eff).cast("int"),
-    )
+    # guard k_eff == 0 (a real decoder may report 0 frames): sequence(0, -1)
+    # would step DOWN to [0, -1] — emit an empty index list instead
+    indices = F.when(
+        k_eff > 0,
+        F.transform(
+            F.sequence(F.lit(0), k_eff - 1),
+            lambda i: F.floor(i * n / k_eff).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         decoded.filter(F.col("media_type") == "video")
         .select(

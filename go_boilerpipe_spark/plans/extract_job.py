@@ -28,15 +28,74 @@ import os
 import time
 import uuid
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
-from ..operators.extract import extract_articles
+from ..operators.extract import PartitionCountersParam, extract_articles
 from ..sources.catalog import ParquetCatalog, get_catalog
 
 
 def list_input_files(spark, path: str):
     """Stable, sorted data-file list for deterministic chunking."""
     return ParquetCatalog(spark).list_data_files(path)
+
+
+class _FS:
+    """Manifest IO through the Hadoop FileSystem API, so the manifest is
+    honored on hdfs://, s3a://, or any configured scheme — not only the
+    driver's local disk (ADVICE r2: the os.path.isdir() check silently fell
+    back to the chunk=* glob on non-local sinks, reintroducing stale-chunk
+    duplicates)."""
+
+    def __init__(self, spark, path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self.path = jvm.org.apache.hadoop.fs.Path(path)
+        self.fs = self.path.getFileSystem(spark._jsc.hadoopConfiguration())
+        # plain-file semantics for the tiny JSON manifests: no .crc sidecars
+        # on LocalFileSystem, no stale-checksum failures if an operator
+        # edits a manifest out-of-band
+        try:
+            self.fs.setWriteChecksum(False)
+            self.fs.setVerifyChecksum(False)
+        except Exception:
+            pass
+
+    def child(self, name: str):
+        return self._jvm.org.apache.hadoop.fs.Path(self.path, name)
+
+    def exists_dir(self) -> bool:
+        return bool(self.fs.exists(self.path)) and bool(
+            self.fs.getFileStatus(self.path).isDirectory()
+        )
+
+    def list_names(self):
+        if not self.exists_dir():
+            return []
+        return sorted(
+            st.getPath().getName() for st in self.fs.listStatus(self.path)
+        )
+
+    def read_json(self, name: str) -> dict:
+        stream = self.fs.open(self.child(name))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(data).decode("utf-8"))
+
+    def write_json_atomic(self, name: str, entry: dict):
+        self.fs.mkdirs(self.path)
+        tmp, dst = self.child(f".{name}.tmp"), self.child(name)
+        stream = self.fs.create(tmp, True)
+        try:
+            stream.write(bytearray(json.dumps(entry).encode("utf-8")))
+        finally:
+            stream.close()
+        # rename is the atomic commit point on HDFS/local; on object stores
+        # it is copy+delete but still the single visible-or-not transition
+        self.fs.delete(dst, False)
+        self.fs.rename(tmp, dst)
 
 
 def plan_chunks(files, target_bytes: int):
@@ -85,22 +144,18 @@ class ExtractJob:
     # -- manifest --------------------------------------------------------------
 
     def _completed_chunks(self) -> dict:
+        fs = _FS(self.spark, self.manifest_dir)
         done = {}
-        if os.path.isdir(self.manifest_dir):
-            for f in sorted(os.listdir(self.manifest_dir)):
-                if f.endswith(".json"):
-                    with open(os.path.join(self.manifest_dir, f)) as fh:
-                        e = json.load(fh)
-                    done[e["chunk_id"]] = e
+        for f in fs.list_names():
+            if f.endswith(".json"):
+                e = fs.read_json(f)
+                done[e["chunk_id"]] = e
         return done
 
     def _commit_chunk(self, entry: dict):
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".{entry['chunk_id']}.tmp")
-        dst = os.path.join(self.manifest_dir, f"{entry['chunk_id']}.json")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.replace(tmp, dst)  # atomic commit point
+        _FS(self.spark, self.manifest_dir).write_json_atomic(
+            f"{entry['chunk_id']}.json", entry
+        )
 
     # -- the job ----------------------------------------------------------------
 
@@ -142,33 +197,37 @@ class ExtractJob:
         op = extract_articles
         if self.dedup_payloads:
             from ..operators.extract import extract_articles_deduped as op
+        # per-partition lineage counters accumulate INSIDE the Arrow kernel
+        # (one accumulator update per task); chunk totals ride the write via
+        # observe(). Neither re-reads the written chunk — the old post-write
+        # groupBy scan doubled sink I/O per chunk (VERDICT r2 item 4). With
+        # dedup_payloads the partition counters describe the unique-payload
+        # kernel stage (the work actually done); totals always describe the
+        # written rows.
+        counters = spark.sparkContext.accumulator({}, PartitionCountersParam())
+        obs = Observation(f"extract-{run_id}-{chunk_id}")
         extracted = op(
-            df, parallelism=self.parallelism, repartition=self.repartition
+            df, parallelism=self.parallelism, repartition=self.repartition,
+            counters=counters,
         ).withColumn("part_id", F.spark_partition_id())
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_out"),
+            F.coalesce(
+                F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("parse_errors"),
+        )
 
-        out_dir = os.path.join(self.sink, f"chunk={chunk_id}")
         # overwrite → idempotent re-run of a failed/partial chunk (on
         # Iceberg: one transaction via overwritePartitions)
         self.catalog.overwrite_partition(extracted, self.sink, f"chunk={chunk_id}")
 
-        # lineage: per-partition counters from the written chunk. ONE scan of
-        # the output: the grouped rows are collected (tiny — one row per task
-        # partition), re-materialized driver-side for the lineage append, and
-        # the chunk totals are summed from the same rows (the old second
-        # `res.agg(...)` pass was a full extra read per chunk — at 100 TB of
-        # output that doubled the sink I/O).
-        res = spark.read.parquet(out_dir)
-        lineage_rows = (
-            res.groupBy("part_id")
-            .agg(
-                F.count("*").alias("docs_out"),
-                F.sum(
-                    F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)
-                ).alias("parse_errors"),
-                F.sum(F.length("content")).alias("content_chars"),
-            )
-            .collect()
-        )
+        totals = obs.get
+        lineage_rows = [
+            (int(pid), int(v[0]), int(v[1]), int(v[2]))
+            for pid, v in sorted(counters.value.items())
+        ]
         lineage = spark.createDataFrame(
             lineage_rows,
             schema="part_id int, docs_out bigint, parse_errors bigint, "
@@ -182,8 +241,8 @@ class ExtractJob:
         )
         self.catalog.append(lineage, self.lineage_dir)
 
-        docs_out = sum(r["docs_out"] for r in lineage_rows)
-        parse_errors = sum(int(r["parse_errors"] or 0) for r in lineage_rows)
+        docs_out = int(totals["docs_out"])
+        parse_errors = int(totals["parse_errors"])
 
         return {
             "run_id": run_id,
@@ -200,15 +259,14 @@ def read_extracted(spark, sink: str):
     """Read the extracted corpus, trusting the manifest over the directory
     listing: a re-run with a smaller chunking can leave stale committed
     chunk dirs from the previous run in the sink — globbing chunk=* would
-    return their rows as duplicates."""
-    manifest_dir = os.path.join(sink, "_manifest")
-    if os.path.isdir(manifest_dir):
-        ids = sorted(
-            f[:-5] for f in os.listdir(manifest_dir) if f.endswith(".json")
-        )
-        paths = [os.path.join(sink, f"chunk={cid}") for cid in ids]
-        if paths:
-            return spark.read.option("basePath", sink).parquet(*paths)
+    return their rows as duplicates. The manifest listing goes through the
+    Hadoop FileSystem API so hdfs://, s3a://, and local sinks all honor it
+    (ADVICE r2)."""
+    fs = _FS(spark, os.path.join(sink, "_manifest"))
+    ids = sorted(f[:-5] for f in fs.list_names() if f.endswith(".json"))
+    paths = [os.path.join(sink, f"chunk={cid}") for cid in ids]
+    if paths:
+        return spark.read.option("basePath", sink).parquet(*paths)
     return spark.read.option("basePath", sink).parquet(
         os.path.join(sink, "chunk=*")
     )

@@ -271,6 +271,81 @@ class TestScaleHardening:
             .count()
         )
         assert buckets >= 8, f"only {buckets} distinct buckets"
+        # the Arrow-batched projection must spread them identically
+        buckets_b = (
+            emb.select(
+                similarity.sign_lsh_bucket_batched(F.col("embedding"), 8).alias("b")
+            )
+            .distinct()
+            .count()
+        )
+        assert buckets_b == buckets
+
+    def test_sign_lsh_batched_bit_identical(self, spark):
+        # VERDICT r2 item 2: the numpy path must produce the SAME bucket as
+        # the Catalyst fold for every vector — same signs, same float64
+        # accumulation order. Mixed dims, all-positive, zero, and null
+        # vectors included.
+        import math
+        import random
+
+        rng = random.Random(42)
+        rows = []
+        for i in range(200):
+            d = rng.choice([8, 32, 64])
+            rows.append(
+                (i, [rng.uniform(-1, 1) for _ in range(d)])
+            )
+        rows += [
+            (200, [0.5] * 16),              # all-positive
+            (201, [0.0] * 16),              # zero vector
+            (202, []),                      # empty
+            (203, None),                    # null
+            (204, [math.pi * 1e-8] * 64),   # tiny magnitudes
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = (
+            emb.select(
+                "vec_id",
+                similarity.sign_lsh_bucket(F.col("embedding"), 8).alias("bc"),
+                similarity.sign_lsh_bucket_batched(F.col("embedding"), 8).alias("bb"),
+            )
+            .collect()
+        )
+        for r in got:
+            assert r["bb"] == r["bc"], (r["vec_id"], r["bb"], r["bc"])
+
+    def test_cosine_batched_bit_identical(self, spark):
+        # same contract for the pair-scoring cosine: numpy path must equal
+        # the Catalyst fold bit-for-bit (null/mismatched pairs → NULL)
+        import random
+
+        rng = random.Random(13)
+        rows = []
+        for i in range(150):
+            d = rng.choice([8, 32])
+            rows.append(
+                (i,
+                 [rng.uniform(-1, 1) for _ in range(d)],
+                 [rng.uniform(-1, 1) for _ in range(d)])
+            )
+        rows += [
+            (150, [1.0, 2.0], [1.0, 2.0, 3.0]),  # length mismatch → NULL
+            (151, None, [1.0]),                  # null → NULL
+            (152, [0.25] * 8, [0.25] * 8),       # identical → 1.0
+        ]
+        df = spark.createDataFrame(
+            rows, "i long, a array<float>, b array<float>"
+        )
+        got = df.select(
+            "i",
+            similarity._cosine(F.col("a"), F.col("b")).alias("cf"),
+            similarity.cosine_batched(F.col("a"), F.col("b")).alias("cb"),
+        ).collect()
+        for r in got:
+            assert r["cb"] == r["cf"] or (
+                r["cb"] is None and r["cf"] is None
+            ), (r["i"], r["cb"], r["cf"])
 
     def test_ivf_broadcast_centroids_no_collect(self, spark):
         import math
@@ -316,6 +391,35 @@ class TestCuration:
         out = {r["doc_id"]: r["cluster_id"]
                for r in dedup.duplicate_clusters(pairs, ids).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+    def test_duplicate_clusters_chain_logn_rounds(self, spark):
+        # VERDICT r2 item 3: a 100-doc pairwise-chained dup cluster must
+        # converge in O(log n) rounds (min-label propagation needs ~100)
+        n = 100
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs, ids).collect()}
+        assert out == {i: 0 for i in range(n)}
+        assert dedup.duplicate_clusters.last_rounds <= 10, (
+            dedup.duplicate_clusters.last_rounds
+        )
+
+    def test_duplicate_clusters_string_ids(self, spark):
+        # ADVICE r2: string ids must not hit a decimal cast — the cluster
+        # id is the lexicographic min, chains fully merged
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("c", "d"), ("d", "a2")], "id_a string, id_b string"
+        )
+        ids = spark.createDataFrame(
+            [(x,) for x in ("a2", "b", "c", "d", "zz")], "doc_id string"
+        )
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs, ids).collect()}
+        assert out == {"a2": "a2", "b": "a2", "c": "a2", "d": "a2",
+                       "zz": "zz"}
 
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
@@ -414,6 +518,23 @@ class TestCuration:
             assert len(idx) == min(r["n_frames"], 8)
             assert idx == sorted(idx) and idx[0] == 0
             assert all(0 <= i < r["n_frames"] for i in idx)
+
+    def test_sample_frame_indices_zero_frames(self, spark):
+        # ADVICE r2: n_frames == 0 made sequence(0, -1) step DOWN to
+        # [0, -1]; must yield an empty index list once real decoders can
+        # report zero frames
+        from go_boilerpipe_spark.operators.multimodal import (
+            sample_frame_indices,
+        )
+
+        decoded = spark.createDataFrame(
+            [(1, 0, "video"), (2, 3, "video")],
+            "doc_id long, n_frames int, media_type string",
+        )
+        out = {r["doc_id"]: r["frame_idx_csv"]
+               for r in sample_frame_indices(decoded, k=8).collect()}
+        assert out[1] == ""
+        assert out[2] == "0,1,2"
 
     def test_ivf_plan_size_constant_in_centroid_count(self, spark):
         # VERDICT r1 item 3: centroids are data, not expression tree —
