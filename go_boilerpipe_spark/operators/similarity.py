@@ -16,6 +16,8 @@ Scale notes (10^9+ vectors):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,6 +37,65 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _cosine_pd_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine, bit-identical to :func:`_cosine`: float32 →
+    float64 exact cast, dimension-by-dimension left-to-right accumulation
+    (explicit j-loop, not BLAS — blocking/FMA would reorder the adds),
+    sqrt/divide in the same op order. Rows with null or length-mismatched
+    vectors yield NaN here and are masked to NULL by the Catalyst wrapper."""
+    va, vb = a.values, b.values
+    n = len(va)
+    out = np.full(n, np.nan, dtype=np.float64)
+    la = np.fromiter(
+        (-1 if v is None else len(v) for v in va), dtype=np.int64, count=n
+    )
+    lb = np.fromiter(
+        (-1 if v is None else len(v) for v in vb), dtype=np.int64, count=n
+    )
+    valid = (la >= 0) & (la == lb)
+    for d in np.unique(la[valid]):
+        sel = np.nonzero(valid & (la == d))[0]
+        m = len(sel)
+        if d == 0:
+            out[sel] = np.nan  # 0/0, matching IEEE in the fold
+            continue
+        A = np.empty((m, d), dtype=np.float64)
+        B = np.empty((m, d), dtype=np.float64)
+        for r, si in enumerate(sel):
+            A[r, :] = va[si]
+            B[r, :] = vb[si]
+        dot = np.zeros(m)
+        na2 = np.zeros(m)
+        nb2 = np.zeros(m)
+        for j in range(int(d)):
+            dot += A[:, j] * B[:, j]
+            na2 += A[:, j] * A[:, j]
+            nb2 += B[:, j] * B[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[sel] = dot / (np.sqrt(na2) * np.sqrt(nb2))
+    return pd.Series(out)
+
+
+_COSINE_PD = None
+
+
+def cosine_batched(a, b):
+    """Batched twin of :func:`_cosine` for flat column contexts (pair
+    scoring after an LSH/IVF join, brute-force scoring) — not usable
+    inside HOF lambdas (ivf_cells keeps the fold). NULL semantics match
+    the fold: null input or length mismatch → NULL (zip_with's null pad
+    poisons the dot)."""
+    global _COSINE_PD
+    if _COSINE_PD is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _COSINE_PD = pandas_udf(_cosine_pd_kernel, "double")
+    return F.when(
+        a.isNotNull() & b.isNotNull() & (F.size(a) == F.size(b)),
+        _COSINE_PD(a, b),
+    ).otherwise(F.lit(None).cast("double"))
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -49,7 +110,7 @@ def cosine_topk(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
+        F.round(cosine_batched(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)  # deterministic tie-break
@@ -95,6 +156,60 @@ def sign_lsh_bucket(vec, h: int = 8):
         )
         bucket = bucket + F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket
+
+
+def _sign_matrix(h: int, d: int):
+    """The h×d ±1 matrix from the SAME integer derivation as
+    :func:`_rademacher_sign` (hyperplane i, 1-based dimension j)."""
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(1, d + 1, dtype=np.int64)[None, :]
+    v = (i * 131 + j) * _LSH_MULT
+    return (1.0 - 2.0 * ((v >> 13) & 1)).astype(np.float64)
+
+
+def sign_lsh_bucket_batched(vec, h: int = 8):
+    """Arrow-batched twin of :func:`sign_lsh_bucket` — the 10^9-vector
+    map-side path (VERDICT r2 item 2: the h separate Catalyst HOF folds
+    are interpreted O(h·d) per row and were the bottleneck of
+    dedup_embedding / ann_cosine_lsh).
+
+    Bit-identical to the Catalyst fold and the DuckDB twin by
+    construction: the signs come from the same integer derivation, the
+    cast chain is the same (float32 → float64 exact), and the projection
+    accumulates dimension-by-dimension in the same left-to-right order —
+    an explicit per-dimension numpy loop over an (n, h) accumulator, NOT a
+    BLAS matmul, because BLAS blocking/FMA reorders the float64 adds and a
+    near-zero projection could flip a bucket bit. The loop is d vectorized
+    numpy ops per batch (~100× fewer interpreter transitions than the
+    per-row fold). Nulls and empty vectors bucket to 0, matching the
+    Catalyst version's null semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        vals = vecs.values
+        n = len(vals)
+        res = np.zeros(n, dtype=np.int64)
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vals), dtype=np.int64,
+            count=n,
+        )
+        pow2 = 1 << np.arange(h, dtype=np.int64)
+        for d in np.unique(lens):
+            if d == 0:
+                continue
+            sel = np.nonzero(lens == d)[0]
+            X = np.empty((len(sel), d), dtype=np.float64)
+            for r, si in enumerate(sel):
+                X[r, :] = vals[si]
+            S = _sign_matrix(h, int(d))
+            acc = np.zeros((len(sel), h), dtype=np.float64)
+            for j in range(int(d)):
+                acc += X[:, j : j + 1] * S[None, :, j]
+            res[sel] = ((acc > 0).astype(np.int64) * pow2).sum(axis=1)
+        return pd.Series(res.astype(np.int32))
+
+    return _bucket(vec)
 
 
 def quantize_int8(
@@ -192,7 +307,7 @@ def cosine_topk_ivf(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
+        F.round(cosine_batched(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -202,12 +317,14 @@ def cosine_topk_ivf(
     )
 
 
-def sign_lsh_buckets_multiprobe(vec, h: int = 8, flips: int = 1):
+def sign_lsh_buckets_multiprobe(vec, h: int = 8, flips: int = 1, base=None):
     """The base bucket plus all perturbations within ``flips`` bit flips
     (multi-probe: the standard recall/cost knob for sign LSH —
     flips=1 → h+1 probes, flips=2 → h+1+C(h,2) probes; still a vanishing
-    fraction of the 2^h buckets)."""
-    base = sign_lsh_bucket(vec, h)
+    fraction of the 2^h buckets). ``base`` lets the caller supply an
+    already-computed bucket column (e.g. the batched variant)."""
+    if base is None:
+        base = sign_lsh_bucket_batched(vec, h)
     probes = [base] + [base.bitwiseXOR(F.lit(2 ** i)) for i in range(h)]
     if flips >= 2:
         probes += [
@@ -230,8 +347,9 @@ def cosine_topk_lsh_multiprobe(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Sign-LSH ANN probing the query's bucket and all neighbors within
-    ``flips`` bit flips."""
-    e = emb.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), h))
+    ``flips`` bit flips. Corpus buckets via the Arrow-batched projection
+    (the corpus side is the 10^9-vector side)."""
+    e = emb.withColumn("bucket", sign_lsh_bucket_batched(F.col(vec_col), h))
     q = queries.withColumn(
         "bucket",
         F.explode(
@@ -242,7 +360,7 @@ def cosine_topk_lsh_multiprobe(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
+        F.round(cosine_batched(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
     ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -266,13 +384,15 @@ def cosine_topk_lsh(
 
     Recall < 1 by design; at corpus scale add multi-probe (flip one bit)
     by unioning perturbed buckets — same plan shape."""
-    e = emb.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), h))
-    q = queries.withColumn("bucket", sign_lsh_bucket(F.col(query_vec_col), h))
+    e = emb.withColumn("bucket", sign_lsh_bucket_batched(F.col(vec_col), h))
+    q = queries.withColumn(
+        "bucket", sign_lsh_bucket_batched(F.col(query_vec_col), h)
+    )
     joined = e.join(F.broadcast(q), "bucket")
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
+        F.round(cosine_batched(F.col(vec_col), F.col(query_vec_col)), 5).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
