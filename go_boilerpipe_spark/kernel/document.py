@@ -9,9 +9,14 @@ including the Go-specific HTML escape variant (&#39;/&#34;, not Python
 from __future__ import annotations
 
 from . import htmltok
+from .ckernel import load as _load_ckernel
 from .filters import ARTICLE_FILTERS, article_pipeline
 from .handler import SHOULD_BE_SELF_CLOSING, ContentHandler
 from .ldjson import LinkedDataArticle, merge_linked_data
+from .rfc3339 import parse_rfc3339
+from .textblock import TextBlock
+
+_CK = _load_ckernel()
 
 
 class Document:
@@ -104,27 +109,63 @@ def parse_to_handler(html: str) -> ContentHandler:
     return h
 
 
-def parse_document(html) -> Document:
-    """ParseDocument — boilerpipe.go:34-74. Accepts str or (UTF-8) bytes."""
-    if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="surrogateescape")
-    h = parse_to_handler(html)
-    h.flush_block()
-
+def _finish_document(title, text_blocks, ld_json, h_time) -> Document:
+    """Shared ParseDocument tail (boilerpipe.go:47-73): ld+json merge with
+    encoding/json partial-application semantics, then field precedence."""
     doc = Document()
     art = doc.linked_data
-    for s in h.ld_json:
+    for s in ld_json:
         ok = merge_linked_data(art, s)
         if not ok:
             continue
         if art.type == "Article":
             break
 
-    doc.title = art.headline if art.headline else h.title
+    doc.title = art.headline if art.headline else title
     doc.author = art.author_name
-    doc.date = art.date_published if art.date_published is not None else h.time
-    doc.text_blocks = h.text_blocks
+    doc.date = art.date_published if art.date_published is not None else h_time
+    doc.text_blocks = text_blocks
     return doc
+
+
+def _parse_document_c(html: str) -> Document:
+    """Compiled-kernel path: byte-identical to the pure path (gated by
+    tests/test_ckernel_parity.py). The C side returns raw block tuples and
+    the datetime attribute values in document order; rfc3339 parsing and
+    the ld+json merge stay in Python (content_handler.go:103-113 applies
+    each VALID datetime in order, so the last valid one wins)."""
+    title, blocks, ld_json, datetimes = _CK.parse(html)
+    h_time = None
+    for v in datetimes:
+        t = parse_rfc3339(v)
+        if t is not None:
+            h_time = t
+    tbs = []
+    for (text, nw, nlw, nwiwl, nwl, o1, o2, tag_level, labels) in blocks:
+        tb = TextBlock()
+        tb.text = text
+        tb.num_words = nw
+        tb.num_linked_words = nlw
+        tb.num_words_in_wrapped_lines = nwiwl
+        tb.num_wrapped_lines = nwl
+        tb.offset_blocks_start = o1
+        tb.offset_blocks_end = o2
+        tb.tag_level = tag_level
+        if labels:
+            tb.add_labels(labels)
+        tbs.append(tb)
+    return _finish_document(title, tbs, ld_json, h_time)
+
+
+def parse_document(html) -> Document:
+    """ParseDocument — boilerpipe.go:34-74. Accepts str or (UTF-8) bytes."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="surrogateescape")
+    if _CK is not None:
+        return _parse_document_c(html)
+    h = parse_to_handler(html)
+    h.flush_block()
+    return _finish_document(h.title, h.text_blocks, h.ld_json, h.time)
 
 
 def extract_article(html) -> Document:

@@ -19,14 +19,19 @@ _PKG_ROOT = Path(__file__).resolve().parent
 
 
 def build_pyfiles_zip(dest: str | None = None) -> str:
-    """Zip the package (sources only) for --py-files / addPyFile."""
+    """Zip the package for --py-files / addPyFile: sources, the compiled
+    kernel (.so — workers extract it from the zip to a temp path, see
+    kernel/ckernel.py), and the C source (so a worker on a different
+    platform can rebuild instead of silently falling back)."""
     dest = dest or os.path.join(
         tempfile.gettempdir(), f"go_boilerpipe_spark_{os.getpid()}.zip"
     )
+    patterns = ("*.py", "*.c", "_ckernel*.so")
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in sorted(_PKG_ROOT.rglob("*.py")):
-            rel = Path("go_boilerpipe_spark") / p.relative_to(_PKG_ROOT)
-            zf.write(p, str(rel))
+        for pat in patterns:
+            for p in sorted(_PKG_ROOT.rglob(pat)):
+                rel = Path("go_boilerpipe_spark") / p.relative_to(_PKG_ROOT)
+                zf.write(p, str(rel))
     return dest
 
 

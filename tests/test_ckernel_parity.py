@@ -1,0 +1,215 @@
+"""Parity gate for the compiled kernel (_ckernel.c).
+
+The C extension must be byte-identical to the pure-Python kernel — which
+is the executable spec — on titles, block streams (all counters, offsets,
+tag levels, labels), ld+json capture, time attributes, and rendered
+content. Runs the golden corpus through BOTH paths plus targeted quirk
+inputs and a seeded tag-soup fuzz differential.
+
+The 12k-doc corpus differential runs in scripts/ckernel_corpus_diff.py
+(invoked by bench verification), not here.
+"""
+
+import random
+
+import pytest
+
+from go_boilerpipe_spark.kernel import ckernel
+from go_boilerpipe_spark.kernel.document import (
+    _finish_document,
+    article_pipeline,
+    parse_to_handler,
+)
+from go_boilerpipe_spark.kernel.rfc3339 import parse_rfc3339
+
+ck = ckernel.load()
+
+pytestmark = pytest.mark.skipif(
+    ck is None, reason="compiled kernel unavailable (no gcc?)"
+)
+
+
+def pure_state(html):
+    h = parse_to_handler(html)
+    h.flush_block()
+    blocks = [
+        (tb.text, tb.num_words, tb.num_linked_words,
+         tb.num_words_in_wrapped_lines, tb.num_wrapped_lines,
+         tb.offset_blocks_start, tb.offset_blocks_end, tb.tag_level,
+         tuple(sorted(tb.label_map.items())))
+        for tb in h.text_blocks
+    ]
+    return h.title, blocks, list(h.ld_json), h.time
+
+
+def c_state(html):
+    title, blocks, ld_json, dts = ck.parse(html)
+    out = []
+    for (text, nw, nlw, nwiwl, nwl, o1, o2, tl, labels) in blocks:
+        lm = {}
+        for lab in labels:
+            lm[lab] = lm.get(lab, 0) + 1
+        out.append((text, nw, nlw, nwiwl, nwl, o1, o2, tl,
+                    tuple(sorted(lm.items()))))
+    t = None
+    for v in dts:
+        r = parse_rfc3339(v)
+        if r is not None:
+            t = r
+    return title, out, list(ld_json), t
+
+
+def assert_same(html, note=""):
+    pt, pb, pl, ptime = pure_state(html)
+    ct, cb, cl, ctime = c_state(html)
+    assert pt == ct, (note, "title", pt, ct)
+    assert pl == cl, (note, "ldjson", pl, cl)
+    assert ptime == ctime, (note, "time", ptime, ctime)
+    assert len(pb) == len(cb), (note, "nblocks", len(pb), len(cb))
+    for k, (a, b) in enumerate(zip(pb, cb)):
+        assert a == b, (note, "block", k, a, b)
+
+
+def test_goldens_identical_block_streams():
+    for i in range(7):
+        html = open(f"/root/reference/testdata/{i}.html", "rb").read()
+        assert_same(html.decode("utf-8", "surrogateescape"), f"golden {i}")
+
+
+def test_goldens_bytewise_content_through_c():
+    # the normative gate run through the C path explicitly
+    from go_boilerpipe_spark.kernel.document import _CK, extract_article
+
+    assert _CK is not None, "C kernel must be active in this test run"
+    for i in range(7):
+        html = open(f"/root/reference/testdata/{i}.html", "rb").read()
+        doc = extract_article(html)
+        exp = open(f"tests/fixtures/golden/{i}.content.txt", "rb").read()
+        assert doc.content().encode() == exp, f"golden {i} byte diff"
+
+
+QUIRKS = [
+    # raw-text elements & escape states
+    "<script>var a='</notscript>'</script><p>after script text here</p>",
+    "<script><!-- if (a<b) { x='</script>'; } --></script><p>t</p>",
+    "<script><!--<script>nested</script>--></script><p>t</p>",
+    "<style>p:before{content:'</p>'}</style><p>visible words</p>",
+    "<title>Page &amp; Title</title><body><p>body text words</p></body>",
+    "<textarea>words &lt;b&gt; not tags</textarea>",
+    "<iframe><p>hidden</p></iframe><p>shown</p>",
+    "<xmp><p>raw</p></xmp><p>after</p>",
+    "<plaintext><p>everything raw to eof",
+    "<noscript>alt words</noscript><p>main</p>",
+    # malformed markup recovery
+    "<p>a </ b> c</p>",
+    "<p>a <!-- comment --> b</p>",
+    "<p>a <!--> b</p>",
+    "<p>a <!---> b</p>",
+    "<p>a <!----> b</p>",
+    "<p>a <!doctype html> b</p>",
+    "<p>a <? processing ?> b</p>",
+    "<p>a </> b</p>",
+    "<p>a < b</p>",
+    "<p>a <3 b</p>",
+    "<p>unclosed at eof",
+    "<p>tag at eof <",
+    "<p>end at eof </",
+    "<p>truncated </p",
+    "<p>truncated <di",
+    "<div><p>mismatched</div></p>",
+    "<foo><bar>unknown tags</bar></foo>",
+    "<unknownone>text</unknowntwo>",
+    # self-closing & should-be-self-closing
+    "<p>a<br/>b</p>",
+    "<p>a<br>b</p>",
+    "<img src=x><p>words</p>",
+    "<p>a<a href=x/>link</a>b</p>",
+    # attributes
+    "<time datetime=\"2019-03-30T08:04:00+08:00\">x</time>",
+    "<time datetime='2019-03-30T08:04:00Z' datetime='2020-01-01T00:00:00Z'>x</time>",
+    "<time datetime=bogus>x</time><time datetime=2021-05-06T01:02:03Z>y</time>",
+    "<time =datetime=2019-01-01T00:00:00Z>x</time>",
+    "<p class=\"a>b\">quoted gt</p>",
+    "<p a b c>bare attrs</p>",
+    "<p a=1 b = 2 c= '3'>spaced</p>",
+    "<p a=>empty</p>",
+    "<p =weird>leading eq</p>",
+    "<p a=\"unterminated>words words",
+    "<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":\"H\",\"articleBody\":\"B\"}</script><p>t</p>",
+    "<script type=\"application/ld&#43;json\">{\"@type\":\"Article\",\"headline\":\"H2\"}</script><p>t</p>",
+    "<script type=\"application/json\">{\"x\":1}</script><p>t</p>",
+    # entities in text
+    "<p>&lt;tag&gt; &amp; &notin; &notit; &#x48;i &#4294967361;</p>",
+    "<p>&#x; &#1x &# &#</p>",
+    "<p>fish &amp chips &ampere</p>",
+    # tokenize edges through blocks
+    "<body><p>a⁣.b and words</p></body>",
+    "<body><p>don't stop (parens) and/or $5.99!</p></body>",
+    "<body><p>中文 words 混合 text</p></body>",
+    "<body><p>a&nbsp;b</p></body>",
+    "<body><p>" + "word " * 60 + "</p></body>",
+    # anchors / labels / title
+    "<body><h1>Head</h1><p>some words <a href=x>linked words here</a> more</p></body>",
+    "<body><ul><li>item one words</li><li>item two words</li></ul></body>",
+    "<title>T</title><body><h2>H2</h2><h3>H3</h3><p>text</p></body>",
+    "<title> spaced title </title><body><p>x</p></body>",
+    "<title></title><body><p>x</p></body>",
+    "<body><a>outer <a>inner</a> tail</a></body>",
+    # whitespace shapes
+    "<body><p>  leading</p><p>trailing  </p><p> 　</p></body>",
+    "<body><p>a\r\nb\rc\nd</p></body>",
+    "<body><p>\x00nul</p><script>a\x00b</script></body>",
+    # invalid utf-8 surrogates (surrogateescape decode artifacts)
+    "<body><p>bad \udc80\udcff bytes</p></body>",
+    "<body narrow><p>words</p></body>",
+]
+
+
+def test_quirk_inputs_identical():
+    for q in QUIRKS:
+        assert_same(q, q[:48])
+
+
+def test_fuzz_tag_soup_identical():
+    rng = random.Random(20260816)
+    pieces = [
+        "<p>", "</p>", "<div>", "</div>", "<a href=x>", "</a>", "<br>",
+        "<br/>", "<img>", "<script>", "</script>", "<style>", "</style>",
+        "<title>", "</title>", "<li>", "</li>", "<h1>", "</h1>", "<body>",
+        "</body>", "<!--", "-->", "<!", ">", "<", "</", "словo", "word",
+        "words here", "&amp;", "&lt", "&#65;", "&#x;", " ", "\n", "\t",
+        " ", "⁣", ".", ",", "'", '"', "=", "/", "中文", "a<b",
+        "<time datetime=2020-01-01T00:00:00Z>", "</time>", "<foo bar=baz>",
+        "</foo>", "x" * 90, "\udc80", "\x00", "<xmp>", "</xmp>",
+        "<textarea>", "</textarea>", "<iframe>", "</iframe>", "<!doctype>",
+        "<?php ?>", "<option>", "</option>", "<noscript>", "</noscript>",
+    ]
+    for t in range(800):
+        s = "".join(
+            rng.choice(pieces) for _ in range(rng.randint(0, 25))
+        )
+        assert_same(s, f"fuzz {t}: {s[:60]!r}")
+
+
+def test_full_pipeline_content_identical():
+    # run the Article filter chain on both parses and compare rendered
+    # bytes (filters consume counters/labels, so this catches any drift
+    # the raw block compare might miss in is_content semantics)
+    from go_boilerpipe_spark.kernel.document import _parse_document_c
+
+    rng = random.Random(7)
+    docs = [open(f"/root/reference/testdata/{i}.html", "rb").read().decode(
+        "utf-8", "surrogateescape") for i in range(7)]
+    for html in docs + QUIRKS:
+        d_c = _parse_document_c(html)
+        article_pipeline(d_c)
+        h = parse_to_handler(html)
+        h.flush_block()
+        d_p = _finish_document(h.title, h.text_blocks, h.ld_json, h.time)
+        article_pipeline(d_p)
+        assert d_c.content() == d_p.content()
+        assert d_c.title == d_p.title
+        assert d_c.date == d_p.date
+        assert [tb.is_content for tb in d_c.text_blocks] == [
+            tb.is_content for tb in d_p.text_blocks
+        ]
