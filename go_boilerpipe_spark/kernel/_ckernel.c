@@ -409,10 +409,81 @@ static int convert_newlines(const u32 *s, Py_ssize_t n, Buf *out)
 }
 
 /* ------------------------------------------------------------------ */
-/* ContentHandler — handler.py port                                    */
+/* TextBlock — textblock.py port (C-side blocks so the filter chain    */
+/* can run without crossing the C/Python boundary per block)           */
 /* ------------------------------------------------------------------ */
 
-/* label enum values injected per tag at init (textblock.py:15-23) */
+/* label enum values (textblock.py:15-23): 0..8; label_map becomes a
+ * fixed count array (filters only use membership and merged counts —
+ * dict insertion order is never observable in the pipeline) */
+#define N_LABELS 9
+#define LBL_INDICATES_END_OF_TEXT 0
+#define LBL_MIGHT_BE_CONTENT 1
+#define LBL_VERY_LIKELY_CONTENT 2
+#define LBL_TITLE 3
+#define LBL_LIST 4
+#define LBL_HEADING 5
+
+typedef struct {
+    u32 *text;
+    Py_ssize_t text_len;
+    long num_words, num_linked_words, nwiwl, nwl;
+    long off_start, off_end;
+    int tag_level;
+    int is_content;
+    long labels[N_LABELS];
+} CBlock;
+
+static void cblock_free(CBlock *b)
+{
+    if (b) {
+        PyMem_Free(b->text);
+        PyMem_Free(b);
+    }
+}
+
+/* textblock.py:73-87 merge_next */
+static int cblock_merge_next(CBlock *a, CBlock *b)
+{
+    u32 *nt = (u32 *)PyMem_Malloc(
+        (size_t)(a->text_len + 1 + b->text_len) * sizeof(u32));
+    if (!nt) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    memcpy(nt, a->text, (size_t)a->text_len * sizeof(u32));
+    nt[a->text_len] = '\n';
+    memcpy(nt + a->text_len + 1, b->text,
+           (size_t)b->text_len * sizeof(u32));
+    PyMem_Free(a->text);
+    a->text = nt;
+    a->text_len = a->text_len + 1 + b->text_len;
+    if (b->off_start < a->off_start)
+        a->off_start = b->off_start;
+    if (b->off_end > a->off_end)
+        a->off_end = b->off_end;
+    a->num_words += b->num_words;
+    a->num_linked_words += b->num_linked_words;
+    a->nwiwl += b->nwiwl;
+    a->nwl += b->nwl;
+    a->is_content = a->is_content || b->is_content;
+    for (int i = 0; i < N_LABELS; i++)
+        a->labels[i] += b->labels[i];
+    if (b->tag_level < a->tag_level)
+        a->tag_level = b->tag_level;
+    return 0;
+}
+
+static inline double cb_link_density(const CBlock *b)
+{
+    if (b->num_words == 0)
+        return 0.0;
+    return (double)b->num_linked_words / (double)b->num_words;
+}
+
+/* ------------------------------------------------------------------ */
+/* ContentHandler — handler.py port                                    */
+/* ------------------------------------------------------------------ */
 
 typedef struct {
     Buf token_buf;
@@ -430,7 +501,8 @@ typedef struct {
     Py_ssize_t atom_len, atom_cap;
     char last_start_tag[32];
     int last_start_len;
-    PyObject *blocks;    /* list */
+    CBlock **blocks;
+    Py_ssize_t nblocks, cap_blocks;
     PyObject *ld_json;   /* list of str */
     PyObject *datetimes; /* list of str */
     PyObject *title;     /* str or NULL */
@@ -441,10 +513,9 @@ static int h_init(Handler *h)
 {
     memset(h, 0, sizeof(*h));
     h->depth_block_tag = -1;
-    h->blocks = PyList_New(0);
     h->ld_json = PyList_New(0);
     h->datetimes = PyList_New(0);
-    if (!h->blocks || !h->ld_json || !h->datetimes)
+    if (!h->ld_json || !h->datetimes)
         return -1;
     return 0;
 }
@@ -456,7 +527,9 @@ static void h_free(Handler *h)
     buf_free(&h->scratch);
     PyMem_Free(h->label_stack);
     PyMem_Free(h->atom_stack);
-    Py_XDECREF(h->blocks);
+    for (Py_ssize_t i = 0; i < h->nblocks; i++)
+        cblock_free(h->blocks[i]);
+    PyMem_Free(h->blocks);
     Py_XDECREF(h->ld_json);
     Py_XDECREF(h->datetimes);
     Py_XDECREF(h->title);
@@ -791,37 +864,48 @@ static int flush_block(Handler *h)
             num_words_in_wrapped_lines = num_words;
             num_wrapped_lines = 1;
         }
-        PyObject *text = str_from_u32(h->text_buf.p + xa, xb - xa);
-        if (!text)
-            return -1;
-        /* labelStack.PopAll() returns reverse order (textblock.go:47-60) */
-        PyObject *labels = PyTuple_New(h->label_len);
-        if (!labels) {
-            Py_DECREF(text);
+        CBlock *cb = (CBlock *)PyMem_Calloc(1, sizeof(CBlock));
+        if (!cb) {
+            PyErr_NoMemory();
             return -1;
         }
+        cb->text_len = xb - xa;
+        cb->text = (u32 *)PyMem_Malloc(
+            (size_t)(cb->text_len ? cb->text_len : 1) * sizeof(u32));
+        if (!cb->text) {
+            PyMem_Free(cb);
+            PyErr_NoMemory();
+            return -1;
+        }
+        memcpy(cb->text, h->text_buf.p + xa,
+               (size_t)cb->text_len * sizeof(u32));
+        cb->num_words = num_words;
+        cb->num_linked_words = num_linked_words;
+        cb->nwiwl = num_words_in_wrapped_lines;
+        cb->nwl = num_wrapped_lines;
+        cb->off_start = h->offset_blocks;
+        cb->off_end = h->offset_blocks;
+        cb->tag_level = h->depth_block_tag;
+        /* labelStack.PopAll(): counts only — order is unobservable */
         for (Py_ssize_t t = 0; t < h->label_len; t++) {
-            PyObject *lv =
-                PyLong_FromLong(h->label_stack[h->label_len - 1 - t]);
-            if (!lv) {
-                Py_DECREF(text);
-                Py_DECREF(labels);
-                return -1;
-            }
-            PyTuple_SET_ITEM(labels, t, lv);
+            int lv = h->label_stack[t];
+            if (lv >= 0 && lv < N_LABELS)
+                cb->labels[lv]++;
         }
         h->label_len = 0;
-        PyObject *blk = Py_BuildValue(
-            "(NlllllliN)", text, num_words, num_linked_words,
-            num_words_in_wrapped_lines, num_wrapped_lines,
-            (long)h->offset_blocks, (long)h->offset_blocks,
-            h->depth_block_tag, labels);
-        if (!blk)
-            return -1;
-        int rc = PyList_Append(h->blocks, blk);
-        Py_DECREF(blk);
-        if (rc < 0)
-            return -1;
+        if (h->nblocks >= h->cap_blocks) {
+            Py_ssize_t nc = h->cap_blocks ? h->cap_blocks * 2 : 64;
+            CBlock **np = (CBlock **)PyMem_Realloc(
+                h->blocks, (size_t)nc * sizeof(CBlock *));
+            if (!np) {
+                cblock_free(cb);
+                PyErr_NoMemory();
+                return -1;
+            }
+            h->blocks = np;
+            h->cap_blocks = nc;
+        }
+        h->blocks[h->nblocks++] = cb;
         h->offset_blocks++;
     }
 
@@ -1751,6 +1835,787 @@ static int run_parse(Parser *p, Handler *h)
 }
 
 /* ------------------------------------------------------------------ */
+/* Article filter chain — filters.py port (filter.go semantics)        */
+/* ------------------------------------------------------------------ */
+
+/* Go strings.ToLower = the SIMPLE per-rune lowercase mapping, which is
+ * exactly what Py_UNICODE_TOLOWER provides (Python str.lower() differs
+ * only by the U+0130 expansion and Final_Sigma — the two cases
+ * filters.py pre-translates; see its _GO_LOWER_FIX comment). */
+static inline u32 go_lower_rune(u32 c)
+{
+    if (c < 0x80)
+        return (c >= 'A' && c <= 'Z') ? c + 32 : c;
+    if (c == 0x130)
+        return 'i'; /* Go simple map for İ (filters.py _GO_LOWER_FIX) */
+    if (c == 0x3A3)
+        return 0x3C3; /* Σ -> σ always (no Final_Sigma context) */
+    return (u32)Py_UNICODE_TOLOWER((Py_UCS4)c);
+}
+
+static int u32_startswith_ascii(const u32 *s, Py_ssize_t n, const char *lit)
+{
+    Py_ssize_t m = (Py_ssize_t)strlen(lit);
+    if (n < m)
+        return 0;
+    for (Py_ssize_t i = 0; i < m; i++)
+        if (s[i] != (u32)(unsigned char)lit[i])
+            return 0;
+    return 1;
+}
+
+/* needle given as UCS4 array */
+static int u32_contains(const u32 *s, Py_ssize_t n, const u32 *nd,
+                        Py_ssize_t m)
+{
+    if (m == 0)
+        return 1;
+    for (Py_ssize_t i = 0; i + m <= n; i++) {
+        if (s[i] == nd[0] && memcmp(s + i, nd, (size_t)m * sizeof(u32)) == 0)
+            return 1;
+    }
+    return 0;
+}
+
+static Py_ssize_t u32_find(const u32 *s, Py_ssize_t n, const u32 *nd,
+                           Py_ssize_t m)
+{
+    if (m == 0)
+        return 0;
+    for (Py_ssize_t i = 0; i + m <= n; i++)
+        if (s[i] == nd[0] && memcmp(s + i, nd, (size_t)m * sizeof(u32)) == 0)
+            return i;
+    return -1;
+}
+
+static int u32_eq_ascii(const u32 *s, Py_ssize_t n, const char *lit)
+{
+    Py_ssize_t m = (Py_ssize_t)strlen(lit);
+    if (n != m)
+        return 0;
+    for (Py_ssize_t i = 0; i < m; i++)
+        if (s[i] != (u32)(unsigned char)lit[i])
+            return 0;
+    return 1;
+}
+
+/* filters.py:48-58 _starts_with_number */
+static int starts_with_number(const u32 *s, Py_ssize_t n)
+{
+    Py_ssize_t i = 0;
+    while (i < n && s[i] >= '0' && s[i] <= '9')
+        i++;
+    if (i == 0)
+        return 0;
+    if (u32_startswith_ascii(s + i, n - i, " comments"))
+        return 1;
+    if (u32_startswith_ascii(s + i, n - i, " users responded in"))
+        return 1;
+    return 0;
+}
+
+/* the two non-ASCII phrases, as UCS4 literals */
+static const u32 PH_REUTERS[] = {0xA9, ' ', 'r', 'e', 'u', 't', 'e', 'r', 's'};
+static const u32 PH_RATTA[] = {'r', 0xE4, 't', 't', 'a', ' ', 'a', 'r', 't',
+                               'i', 'k', 'e', 'l', 'n'};
+static const char *TERM_CONTAINS_ASCII[] = {
+    "what you think...", "add your comment", "add comment", "reader views",
+    "have your say", "reader comments", NULL,
+};
+
+static int u32_contains_ascii(const u32 *s, Py_ssize_t n, const char *lit)
+{
+    Py_ssize_t m = (Py_ssize_t)strlen(lit);
+    for (Py_ssize_t i = 0; i + m <= n; i++) {
+        Py_ssize_t t = 0;
+        while (t < m && s[i + t] == (u32)(unsigned char)lit[t])
+            t++;
+        if (t == m)
+            return 1;
+    }
+    return 0;
+}
+
+/* filters.py:61-90 F1 terminating_blocks.  scratch reused for lowering. */
+static int f_terminating_blocks(Handler *h)
+{
+    for (Py_ssize_t bi = 0; bi < h->nblocks; bi++) {
+        CBlock *tb = h->blocks[bi];
+        if (tb->num_words >= 15)
+            continue;
+        Py_ssize_t a = 0, b = tb->text_len;
+        trim_go_space(tb->text, &a, &b);
+        const u32 *tx = tb->text + a;
+        Py_ssize_t tn = b - a;
+        if (utf8_byte_len(tx, tn) >= 8) {
+            Buf *sc = &h->scratch;
+            sc->len = 0;
+            if (buf_reserve(sc, tn) < 0)
+                return -1;
+            for (Py_ssize_t i = 0; i < tn; i++)
+                sc->p[sc->len++] = go_lower_rune(tx[i]);
+            const u32 *lc = sc->p;
+            Py_ssize_t ln = sc->len;
+            int hit =
+                u32_startswith_ascii(lc, ln, "comments") ||
+                starts_with_number(lc, ln) ||
+                (ln >= 9 && memcmp(lc, PH_REUTERS, sizeof(PH_REUTERS)) == 0) ||
+                u32_startswith_ascii(lc, ln, "please rate this") ||
+                u32_startswith_ascii(lc, ln, "post a comment");
+            if (!hit) {
+                for (int t = 0; TERM_CONTAINS_ASCII[t]; t++)
+                    if (u32_contains_ascii(lc, ln, TERM_CONTAINS_ASCII[t])) {
+                        hit = 1;
+                        break;
+                    }
+                if (!hit &&
+                    u32_contains(lc, ln, PH_RATTA,
+                                 (Py_ssize_t)(sizeof(PH_RATTA) / 4)))
+                    hit = 1;
+                if (!hit &&
+                    u32_eq_ascii(lc, ln,
+                                 "thanks for your comments - this feedback "
+                                 "is now closed"))
+                    hit = 1;
+            }
+            if (hit)
+                tb->labels[LBL_INDICATES_END_OF_TEXT]++;
+        } else if (cb_link_density(tb) == 1.0) {
+            if (u32_eq_ascii(tx, tn, "Comment"))
+                tb->labels[LBL_INDICATES_END_OF_TEXT]++;
+        }
+    }
+    return 0;
+}
+
+/* -- F2 DocumentTitleMatchClassifier ------------------------------------ */
+
+/* filters.py:169-174 _normalize_title_text into an owned buffer */
+static int normalize_title(const u32 *s, Py_ssize_t n, Buf *out)
+{
+    out->len = 0;
+    if (buf_reserve(out, n) < 0)
+        return -1;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        u32 c = s[i];
+        if (c == 0xA0)
+            c = ' ';
+        else if (c == '\'')
+            continue;
+        out->p[out->len++] = c;
+    }
+    Py_ssize_t a = 0, b = out->len;
+    trim_go_space(out->p, &a, &b);
+    for (Py_ssize_t i = a; i < b; i++)
+        out->p[i - a] = go_lower_rune(out->p[i]);
+    out->len = b - a;
+    return 0;
+}
+
+/* the six separator char classes (filters.py:95-105); space membership
+ * only in the last one */
+static const char *SEP_SETS[6] = {
+    "|\xc2\xbb-",          /* [\|»|-]   (duplicate | collapses) */
+    "|\xc2\xbb:",
+    "|\xc2\xbb:()",
+    "|\xc2\xbb:()-",
+    "|\xc2\xbb,:()-",
+    "|\xc2\xbb,:()- ",
+};
+
+static int sep_in_set(u32 c, int set_idx)
+{
+    /* sets contain ASCII chars + U+00BB (») */
+    if (c == 0xBB)
+        return 1;
+    if (c > 127)
+        return 0;
+    const char *p = SEP_SETS[set_idx];
+    while (*p) {
+        if ((unsigned char)*p == 0xC2) {
+            p += 2; /* skip the utf-8 » */
+            continue;
+        }
+        if ((u32)(unsigned char)*p == c)
+            return 1;
+        p++;
+    }
+    return 0;
+}
+
+/* leftmost-greedy match of "[ ]*[set][ ]*" in s[p0..n) */
+static int sep_match(const u32 *s, Py_ssize_t n, Py_ssize_t p0, int set_idx,
+                     int set_has_space, Py_ssize_t *ms, Py_ssize_t *me)
+{
+    for (Py_ssize_t pp = p0; pp < n; pp++) {
+        Py_ssize_t k = pp;
+        while (k < n && s[k] == ' ')
+            k++;
+        Py_ssize_t j = -1;
+        if (k < n && sep_in_set(s[k], set_idx))
+            j = k; /* greedy: maximal spaces, then the set char */
+        else if (set_has_space && k > pp)
+            j = k - 1; /* the set char is the run's last space */
+        if (j >= 0) {
+            Py_ssize_t e = j + 1;
+            while (e < n && s[e] == ' ')
+                e++;
+            *ms = pp;
+            *me = e;
+            return 1;
+        }
+        /* no match starting at pp; leftmost scan advances one char */
+    }
+    return 0;
+}
+
+/* count of re.split("[\x08 ]+") parts = separator runs + 1 */
+static long word_split_count(const u32 *s, Py_ssize_t n)
+{
+    long runs = 0;
+    Py_ssize_t i = 0;
+    while (i < n) {
+        if (s[i] == ' ' || s[i] == 0x08) {
+            runs++;
+            while (i < n && (s[i] == ' ' || s[i] == 0x08))
+                i++;
+        } else {
+            i++;
+        }
+    }
+    return runs + 1;
+}
+
+static const u32 DOTCOM[] = {'.', 'c', 'o', 'm'};
+
+/* potential-title set: owned UCS4 strings */
+typedef struct {
+    u32 *p[64];
+    Py_ssize_t len[64];
+    int n;
+} TitleSet;
+
+static int tset_add(TitleSet *ts, const u32 *s, Py_ssize_t n)
+{
+    for (int i = 0; i < ts->n; i++)
+        if (ts->len[i] == n &&
+            memcmp(ts->p[i], s, (size_t)n * sizeof(u32)) == 0)
+            return 0; /* already present (set semantics) */
+    if (ts->n >= 64)
+        return 0; /* far above any real potential-set size */
+    u32 *cp = (u32 *)PyMem_Malloc((size_t)(n ? n : 1) * sizeof(u32));
+    if (!cp) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    memcpy(cp, s, (size_t)n * sizeof(u32));
+    ts->p[ts->n] = cp;
+    ts->len[ts->n] = n;
+    ts->n++;
+    return 0;
+}
+
+static void tset_free(TitleSet *ts)
+{
+    for (int i = 0; i < ts->n; i++)
+        PyMem_Free(ts->p[i]);
+    ts->n = 0;
+}
+
+static int tset_has(const TitleSet *ts, const u32 *s, Py_ssize_t n)
+{
+    for (int i = 0; i < ts->n; i++)
+        if (ts->len[i] == n &&
+            memcmp(ts->p[i], s, (size_t)n * sizeof(u32)) == 0)
+            return 1;
+    return 0;
+}
+
+/* filters.py:113-128 _get_longest_part for one separator pattern */
+static int get_longest_part(const u32 *t, Py_ssize_t n, int set_idx,
+                            TitleSet *ts)
+{
+    int set_has_space = (set_idx == 5);
+    Py_ssize_t pos = 0, ms, me;
+    /* first check there is at least one separator (len(parts)==1 -> "") */
+    if (!sep_match(t, n, 0, set_idx, set_has_space, &ms, &me))
+        return 0;
+    long longest_num_words = 0;
+    const u32 *lp = NULL;
+    Py_ssize_t lplen = 0;
+    pos = 0;
+    for (;;) {
+        Py_ssize_t ps, pe;
+        int more = sep_match(t, n, pos, set_idx, set_has_space, &ms, &me);
+        ps = pos;
+        pe = more ? ms : n;
+        /* part = t[ps..pe) */
+        if (!u32_contains(t + ps, pe - ps, DOTCOM, 4)) {
+            long nwords = word_split_count(t + ps, pe - ps);
+            if (nwords > longest_num_words || (pe - ps) > lplen) {
+                longest_num_words = nwords;
+                lp = t + ps;
+                lplen = pe - ps;
+            }
+        }
+        if (!more)
+            break;
+        pos = me;
+    }
+    if (lp == NULL || lplen == 0)
+        return 0;
+    Py_ssize_t a = 0, b = lplen;
+    trim_go_space(lp, &a, &b);
+    if (b <= a)
+        return tset_add(ts, lp, 0);
+    return tset_add(ts, lp + a, b - a);
+}
+
+/* filters.py:131-141 _add_potential_titles (single-space split parts) */
+static int add_potential_titles(const u32 *t, Py_ssize_t n, TitleSet *ts)
+{
+    /* parts = title.split(" "); if only one part, nothing */
+    int has_space = 0;
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (t[i] == ' ') {
+            has_space = 1;
+            break;
+        }
+    if (!has_space)
+        return 0;
+    Py_ssize_t i = 0;
+    while (i <= n) {
+        Py_ssize_t j = i;
+        while (j < n && t[j] != ' ')
+            j++;
+        if (!u32_contains(t + i, j - i, DOTCOM, 4) &&
+            word_split_count(t + i, j - i) >= 4) {
+            if (tset_add(ts, t + i, j - i) < 0)
+                return -1;
+        }
+        i = j + 1;
+        if (j >= n)
+            break;
+    }
+    return 0;
+}
+
+/* filters.py:144-148 _remove_first for " - [^-]+$" and "^[^-]+ - " */
+static int remove_first_trail(const u32 *t, Py_ssize_t n, TitleSet *ts)
+{
+    /* leftmost p with t[p..p+3)==" - " and t[p+3..n) nonempty, no '-' */
+    Py_ssize_t p = -1;
+    for (Py_ssize_t i = 0; i + 3 < n + 1; i++) {
+        if (t[i] == ' ' && i + 2 < n && t[i + 1] == '-' && t[i + 2] == ' ') {
+            if (i + 3 >= n)
+                continue; /* [^-]+ needs >=1 char */
+            int ok = 1;
+            for (Py_ssize_t j = i + 3; j < n; j++)
+                if (t[j] == '-') {
+                    ok = 0;
+                    break;
+                }
+            if (ok) {
+                p = i;
+                break;
+            }
+        }
+    }
+    if (p < 0)
+        return tset_add(ts, t, n);
+    /* matched text = t[p..n); remove its FIRST occurrence in t */
+    Py_ssize_t at = u32_find(t, n, t + p, n - p);
+    Buf tmp = {0};
+    if (buf_extend(&tmp, t, at) < 0 ||
+        buf_extend(&tmp, t + at + (n - p), n - (at + (n - p))) < 0) {
+        buf_free(&tmp);
+        return -1;
+    }
+    int rc = tset_add(ts, tmp.p, tmp.len);
+    buf_free(&tmp);
+    return rc;
+}
+
+static int remove_first_lead(const u32 *t, Py_ssize_t n, TitleSet *ts)
+{
+    /* "^[^-]+ - ": first '-' at z; need z>=2, t[z-1]==' ', t[z+1]==' ' */
+    Py_ssize_t z = -1;
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (t[i] == '-') {
+            z = i;
+            break;
+        }
+    if (z < 2 || z + 1 >= n || t[z - 1] != ' ' || t[z + 1] != ' ')
+        return tset_add(ts, t, n);
+    /* matched text = t[0..z+2); first occurrence is the prefix */
+    return tset_add(ts, t + z + 2, n - (z + 2));
+}
+
+/* filters.py:177-202 F2 document_title_match_classifier */
+static int f_title_match(Handler *h, const u32 *title0, Py_ssize_t tn0)
+{
+    if (tn0 == 0)
+        return 0;
+    Buf title = {0};
+    if (normalize_title(title0, tn0, &title) < 0)
+        return -1;
+    if (title.len == 0) {
+        buf_free(&title);
+        return 0;
+    }
+    TitleSet ts = {{0}, {0}, 0};
+    int rc = -1;
+    if (tset_add(&ts, title.p, title.len) < 0)
+        goto done;
+    for (int si = 0; si < 6; si++)
+        if (get_longest_part(title.p, title.len, si, &ts) < 0)
+            goto done;
+    if (add_potential_titles(title.p, title.len, &ts) < 0)
+        goto done;
+    if (remove_first_trail(title.p, title.len, &ts) < 0)
+        goto done;
+    if (remove_first_lead(title.p, title.len, &ts) < 0)
+        goto done;
+
+    for (Py_ssize_t bi = 0; bi < h->nblocks; bi++) {
+        CBlock *tb = h->blocks[bi];
+        Buf nb = {0};
+        if (normalize_title(tb->text, tb->text_len, &nb) < 0)
+            goto done;
+        if (tset_has(&ts, nb.p, nb.len)) {
+            tb->labels[LBL_TITLE]++;
+            buf_free(&nb);
+            rc = 0;
+            goto done;
+        }
+        /* strip the title punctuation class, then trim */
+        Buf pb = {0};
+        if (buf_reserve(&pb, nb.len) < 0) {
+            buf_free(&nb);
+            goto done;
+        }
+        for (Py_ssize_t i = 0; i < nb.len; i++) {
+            u32 c = nb.p[i];
+            if (c == '?' || c == '!' || c == '.' || c == '-' || c == ':')
+                continue;
+            pb.p[pb.len++] = c;
+        }
+        Py_ssize_t a = 0, b = pb.len;
+        trim_go_space(pb.p, &a, &b);
+        if (tset_has(&ts, pb.p + a, b - a)) {
+            tb->labels[LBL_TITLE]++;
+            buf_free(&pb);
+            buf_free(&nb);
+            rc = 0;
+            goto done;
+        }
+        buf_free(&pb);
+        buf_free(&nb);
+    }
+    rc = 0;
+done:
+    tset_free(&ts);
+    buf_free(&title);
+    return rc;
+}
+
+/* filters.py:207-243 F3 num_words_rules_classifier */
+static void classify3(const CBlock *prev, CBlock *curr, const CBlock *nxt)
+{
+    int is_content;
+    if (cb_link_density(curr) <= 0.333333) {
+        if (cb_link_density(prev) <= 0.555556) {
+            if (curr->num_words <= 16) {
+                if (nxt->num_words <= 15)
+                    is_content = prev->num_words > 4;
+                else
+                    is_content = 1;
+            } else {
+                is_content = 1;
+            }
+        } else {
+            if (curr->num_words <= 40)
+                is_content = nxt->num_words > 17;
+            else
+                is_content = 1;
+        }
+    } else {
+        is_content = 0;
+    }
+    curr->is_content = is_content;
+}
+
+static const CBlock CB_EMPTY = {0};
+
+static void f_num_words_rules(Handler *h)
+{
+    Py_ssize_t n = h->nblocks;
+    if (n == 0)
+        return;
+    const CBlock *prev = &CB_EMPTY;
+    CBlock *curr = h->blocks[0];
+    CBlock *nxt = (n >= 2) ? h->blocks[1] : (CBlock *)&CB_EMPTY;
+    classify3(prev, curr, nxt);
+    if (n >= 2) {
+        for (Py_ssize_t i = 2; i < n; i++) {
+            prev = curr;
+            curr = nxt;
+            nxt = h->blocks[i];
+            classify3(prev, curr, nxt);
+        }
+        prev = curr;
+        curr = nxt;
+        classify3(prev, curr, &CB_EMPTY);
+    }
+}
+
+/* filters.py:248-268 F4 ignore_blocks_after_content (min words 60) */
+static void f_ignore_after_content(Handler *h)
+{
+    long num_words = 0;
+    int found_end = 0;
+    for (Py_ssize_t i = 0; i < h->nblocks; i++) {
+        CBlock *tb = h->blocks[i];
+        int eot = tb->labels[LBL_INDICATES_END_OF_TEXT] > 0;
+        if (tb->is_content) {
+            double td = (double)tb->nwiwl / (double)tb->nwl;
+            if (td >= 9.0)
+                num_words += tb->num_words;
+        }
+        if (eot && num_words >= 60)
+            found_end = 1;
+        if (found_end)
+            tb->is_content = 0;
+    }
+}
+
+/* filters.py:273-282 F5 trailing_headline_to_boilerplate */
+static void f_trailing_headline(Handler *h)
+{
+    for (Py_ssize_t i = h->nblocks - 1; i >= 0; i--) {
+        CBlock *tb = h->blocks[i];
+        if (tb->is_content) {
+            if (tb->labels[LBL_HEADING] > 0)
+                tb->is_content = 0;
+            else
+                break;
+        }
+    }
+}
+
+/* filters.py:287-332 F6/F8 block_proximity_fusion */
+static int f_block_proximity_fusion(Handler *h, long max_dist,
+                                    int content_only, int same_level_only)
+{
+    if (h->nblocks < 2)
+        return 0;
+    CBlock *prev_block = NULL;
+    Py_ssize_t start_block = 0;
+    if (content_only) {
+        for (Py_ssize_t i = 0; i < h->nblocks; i++) {
+            start_block++;
+            if (h->blocks[i]->is_content) {
+                prev_block = h->blocks[i];
+                break;
+            }
+        }
+        if (prev_block == NULL)
+            return 0;
+    } else {
+        prev_block = h->blocks[0];
+        start_block = 1;
+    }
+
+    Py_ssize_t i = start_block;
+    while (i < h->nblocks) {
+        CBlock *tb = h->blocks[i];
+        if (!tb->is_content) {
+            prev_block = tb;
+            i++;
+            continue;
+        }
+        /* Go-port quirk: the current block's own offsets (filter.go:362) */
+        long diff = tb->off_start - tb->off_end - 1;
+        if (diff <= max_dist) {
+            int merge = 1;
+            if (content_only && (!prev_block->is_content || !tb->is_content))
+                merge = 0;
+            if (merge && same_level_only &&
+                prev_block->tag_level != tb->tag_level)
+                merge = 0;
+            if (merge) {
+                if (cblock_merge_next(prev_block, tb) < 0)
+                    return -1;
+                cblock_free(tb);
+                memmove(h->blocks + i, h->blocks + i + 1,
+                        (size_t)(h->nblocks - i - 1) * sizeof(CBlock *));
+                h->nblocks--;
+                continue;
+            }
+            prev_block = tb;
+        } else {
+            prev_block = tb;
+        }
+        i++;
+    }
+    return 0;
+}
+
+/* filters.py:337-343 F7 boilerplate_block */
+static void f_boilerplate_block(Handler *h)
+{
+    Py_ssize_t w = 0;
+    for (Py_ssize_t i = 0; i < h->nblocks; i++) {
+        CBlock *tb = h->blocks[i];
+        if (tb->is_content || tb->labels[LBL_TITLE] > 0)
+            h->blocks[w++] = tb;
+        else
+            cblock_free(tb);
+    }
+    h->nblocks = w;
+}
+
+/* filters.py:351-403 F9 keep_largest_blocks (expand + min_words 150) */
+static void f_keep_largest_blocks(Handler *h)
+{
+    if (h->nblocks < 2)
+        return;
+    long max_num_words = -1;
+    CBlock *largest = NULL;
+    int level = -1;
+    Py_ssize_t n_idx = -1;
+    for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+        CBlock *tb = h->blocks[j];
+        if (tb->is_content && tb->num_words > max_num_words) {
+            largest = tb;
+            max_num_words = tb->num_words;
+            n_idx = j;
+            level = tb->tag_level;
+        }
+    }
+    for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+        CBlock *tb = h->blocks[j];
+        if (tb == largest) {
+            tb->is_content = 1;
+            tb->labels[LBL_VERY_LIKELY_CONTENT]++;
+        } else {
+            int isl;
+            if (max_num_words >= 1000)
+                isl = tb->is_content &&
+                      tb->num_words >= (long)(0.25 * (double)max_num_words);
+            else if (max_num_words >= 500)
+                isl = tb->is_content &&
+                      tb->num_words >= (long)(0.6 * (double)max_num_words);
+            else
+                isl = tb->is_content && tb->num_words == max_num_words;
+            tb->is_content = isl;
+            tb->labels[LBL_MIGHT_BE_CONTENT]++;
+        }
+    }
+    if (n_idx != -1) {
+        for (Py_ssize_t j = h->nblocks - 1; j >= 0; j--) {
+            CBlock *tb = h->blocks[j];
+            if (tb->tag_level < level)
+                break;
+            if (tb->tag_level == level && tb->num_words >= 150)
+                tb->is_content = 1;
+        }
+        for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+            CBlock *tb = h->blocks[j];
+            if (tb->tag_level < level)
+                break;
+            if (tb->tag_level == level && tb->num_words >= 150)
+                tb->is_content = 1;
+        }
+    }
+}
+
+/* filters.py:408-426 F10 expand_title_to_content */
+static void f_expand_title(Handler *h)
+{
+    Py_ssize_t title = -1, content_start = -1;
+    for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+        CBlock *tb = h->blocks[j];
+        if (content_start == -1 && tb->labels[LBL_TITLE] > 0)
+            title = j;
+        if (content_start == -1 && tb->is_content)
+            content_start = j;
+    }
+    if (content_start <= title || title == -1)
+        return;
+    /* Go-port quirk (filter.go:598-599): a prefix of the doc */
+    for (Py_ssize_t i = 0; i < content_start - title; i++) {
+        CBlock *tb = h->blocks[i];
+        if (tb->labels[LBL_MIGHT_BE_CONTENT] > 0)
+            tb->is_content = 1;
+    }
+}
+
+/* filters.py:431-445 F11 large_block_same_tag_level_to_content */
+static void f_large_block_same_level(Handler *h)
+{
+    int tag_level = -1;
+    for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+        CBlock *tb = h->blocks[j];
+        if (tb->is_content && tb->labels[LBL_VERY_LIKELY_CONTENT] > 0) {
+            tag_level = tb->tag_level;
+            break;
+        }
+    }
+    if (tag_level == -1)
+        return;
+    for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+        CBlock *tb = h->blocks[j];
+        if (!tb->is_content && tb->num_words >= 100 &&
+            tb->tag_level == tag_level)
+            tb->is_content = 1;
+    }
+}
+
+/* filters.py:450-467 F12 list_at_end */
+static void f_list_at_end(Handler *h)
+{
+    long tag_level = 2147483647L; /* MAX_INT32 */
+    for (Py_ssize_t j = 0; j < h->nblocks; j++) {
+        CBlock *tb = h->blocks[j];
+        if (tb->is_content && tb->labels[LBL_VERY_LIKELY_CONTENT] > 0) {
+            tag_level = tb->tag_level;
+        } else {
+            if (tb->tag_level > tag_level &&
+                tb->labels[LBL_MIGHT_BE_CONTENT] > 0 &&
+                tb->labels[LBL_LIST] > 0 && cb_link_density(tb) == 0.0) {
+                tb->is_content = 1;
+            } else {
+                tag_level = 2147483647L;
+            }
+        }
+    }
+}
+
+/* filters.py:498-514 article_pipeline (filter.go:30-46 order) */
+static int run_article_pipeline(Handler *h, const u32 *title,
+                                Py_ssize_t title_len)
+{
+    if (f_terminating_blocks(h) < 0)
+        return -1;
+    if (f_title_match(h, title, title_len) < 0)
+        return -1;
+    f_num_words_rules(h);
+    f_ignore_after_content(h);
+    f_trailing_headline(h);
+    if (f_block_proximity_fusion(h, 1, 0, 0) < 0)
+        return -1;
+    f_boilerplate_block(h);
+    if (f_block_proximity_fusion(h, 1, 1, 1) < 0)
+        return -1;
+    f_keep_largest_blocks(h);
+    f_expand_title(h);
+    f_large_block_same_level(h);
+    f_list_at_end(h);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* module interface                                                    */
 /* ------------------------------------------------------------------ */
 
@@ -1925,16 +2790,68 @@ static void parser_free(Parser *p)
     buf_free(&p->attr_val);
 }
 
-static PyObject *py_parse(PyObject *self, PyObject *args)
+/* convert the C block array to a Python list of
+ * (text, nw, nlw, nwiwl, nwl, off_s, off_e, tag_level, is_content,
+ *  ((label, count), ...)) tuples */
+static PyObject *blocks_to_py(Handler *h)
 {
-    PyObject *html;
-    if (!PyArg_ParseTuple(args, "U", &html))
+    PyObject *lst = PyList_New(h->nblocks);
+    if (!lst)
         return NULL;
+    for (Py_ssize_t i = 0; i < h->nblocks; i++) {
+        CBlock *cb = h->blocks[i];
+        PyObject *text = str_from_u32(cb->text, cb->text_len);
+        if (!text) {
+            Py_DECREF(lst);
+            return NULL;
+        }
+        int npairs = 0;
+        for (int t = 0; t < N_LABELS; t++)
+            if (cb->labels[t])
+                npairs++;
+        PyObject *labels = PyTuple_New(npairs);
+        if (!labels) {
+            Py_DECREF(text);
+            Py_DECREF(lst);
+            return NULL;
+        }
+        int w = 0;
+        for (int t = 0; t < N_LABELS; t++)
+            if (cb->labels[t]) {
+                PyObject *pair = Py_BuildValue("(il)", t, cb->labels[t]);
+                if (!pair) {
+                    Py_DECREF(text);
+                    Py_DECREF(labels);
+                    Py_DECREF(lst);
+                    return NULL;
+                }
+                PyTuple_SET_ITEM(labels, w++, pair);
+            }
+        PyObject *blk = Py_BuildValue(
+            "(NlllllllNN)", text, cb->num_words, cb->num_linked_words,
+            cb->nwiwl, cb->nwl, cb->off_start, cb->off_end,
+            (long)cb->tag_level,
+            PyBool_FromLong(cb->is_content), labels);
+        if (!blk) {
+            Py_DECREF(lst);
+            return NULL;
+        }
+        PyList_SET_ITEM(lst, i, blk);
+    }
+    return lst;
+}
+
+/* shared parse driver; run_filters: 0 = raw blocks, 1 = run the Article
+ * pipeline in C when there is no ld+json (the ld+json headline can
+ * override the title F2 uses, so those documents return raw blocks and
+ * the caller runs the Python pipeline after the merge).
+ * Returns (title, blocks, ld_json, datetimes, filtered: bool). */
+static PyObject *parse_impl(PyObject *html, int run_filters)
+{
     if (!g_ready) {
         PyErr_SetString(PyExc_RuntimeError, "init_tables() not called");
         return NULL;
     }
-
     Py_ssize_t n = PyUnicode_GET_LENGTH(html);
     Py_UCS4 *buf = PyUnicode_AsUCS4Copy(html);
     if (!buf)
@@ -1957,18 +2874,54 @@ static PyObject *py_parse(PyObject *self, PyObject *args)
     if (rc == 0)
         rc = flush_block(&h);
 
+    int filtered = 0;
+    if (rc == 0 && run_filters && PyList_GET_SIZE(h.ld_json) == 0) {
+        Py_UCS4 *tb = NULL;
+        Py_ssize_t tn = 0;
+        if (h.title) {
+            tn = PyUnicode_GET_LENGTH(h.title);
+            tb = PyUnicode_AsUCS4Copy(h.title);
+            if (!tb)
+                rc = -1;
+        }
+        if (rc == 0) {
+            rc = run_article_pipeline(&h, (const u32 *)tb, tn);
+            filtered = (rc == 0);
+        }
+        PyMem_Free(tb);
+    }
+
     PyObject *result = NULL;
     if (rc == 0) {
-        PyObject *title = h.title ? h.title : PyUnicode_New(0, 0);
-        if (h.title)
-            Py_INCREF(h.title);
-        result = Py_BuildValue("(NOOO)", title, h.blocks, h.ld_json,
-                               h.datetimes);
+        PyObject *blocks = blocks_to_py(&h);
+        if (blocks) {
+            PyObject *title = h.title ? h.title : PyUnicode_New(0, 0);
+            if (h.title)
+                Py_INCREF(h.title);
+            result = Py_BuildValue("(NNOON)", title, blocks, h.ld_json,
+                                   h.datetimes, PyBool_FromLong(filtered));
+        }
     }
     h_free(&h);
     parser_free(&p);
     PyMem_Free(buf);
     return result;
+}
+
+static PyObject *py_parse(PyObject *self, PyObject *args)
+{
+    PyObject *html;
+    if (!PyArg_ParseTuple(args, "U", &html))
+        return NULL;
+    return parse_impl(html, 0);
+}
+
+static PyObject *py_extract(PyObject *self, PyObject *args)
+{
+    PyObject *html;
+    if (!PyArg_ParseTuple(args, "U", &html))
+        return NULL;
+    return parse_impl(html, 1);
 }
 
 static PyObject *py_unescape(PyObject *self, PyObject *args)
@@ -1998,7 +2951,10 @@ static PyMethodDef ckernel_methods[] = {
     {"init_tables", py_init_tables, METH_VARARGS,
      "Install the shared kernel tables (idempotent)."},
     {"parse", py_parse, METH_VARARGS,
-     "parse(html) -> (title, blocks, ld_json, datetimes)"},
+     "parse(html) -> (title, raw_blocks, ld_json, datetimes, False)"},
+    {"extract", py_extract, METH_VARARGS,
+     "extract(html) -> (title, blocks, ld_json, datetimes, filtered) — "
+     "runs the Article pipeline in C when no ld+json is present"},
     {"unescape", py_unescape, METH_VARARGS,
      "unescape(s, attribute=False) -> str (escape.go semantics)"},
     {NULL, NULL, 0, NULL},

@@ -128,20 +128,18 @@ def _finish_document(title, text_blocks, ld_json, h_time) -> Document:
     return doc
 
 
-def _parse_document_c(html: str) -> Document:
-    """Compiled-kernel path: byte-identical to the pure path (gated by
-    tests/test_ckernel_parity.py). The C side returns raw block tuples and
-    the datetime attribute values in document order; rfc3339 parsing and
-    the ld+json merge stay in Python (content_handler.go:103-113 applies
-    each VALID datetime in order, so the last valid one wins)."""
-    title, blocks, ld_json, datetimes = _CK.parse(html)
+def _assemble_c(title, blocks, ld_json, datetimes) -> Document:
+    """Build a Document from C-side results. rfc3339 parsing and the
+    ld+json merge stay in Python (content_handler.go:103-113 applies each
+    VALID datetime in order, so the last valid one wins)."""
     h_time = None
     for v in datetimes:
         t = parse_rfc3339(v)
         if t is not None:
             h_time = t
     tbs = []
-    for (text, nw, nlw, nwiwl, nwl, o1, o2, tag_level, labels) in blocks:
+    for (text, nw, nlw, nwiwl, nwl, o1, o2, tag_level, is_content,
+         label_pairs) in blocks:
         tb = TextBlock()
         tb.text = text
         tb.num_words = nw
@@ -151,10 +149,18 @@ def _parse_document_c(html: str) -> Document:
         tb.offset_blocks_start = o1
         tb.offset_blocks_end = o2
         tb.tag_level = tag_level
-        if labels:
-            tb.add_labels(labels)
+        tb.is_content = is_content
+        if label_pairs:
+            tb.label_map = dict(label_pairs)
         tbs.append(tb)
     return _finish_document(title, tbs, ld_json, h_time)
+
+
+def _parse_document_c(html: str) -> Document:
+    """Compiled-kernel parse (no filters): byte-identical to the pure
+    path (gated by tests/test_ckernel_parity.py)."""
+    title, blocks, ld_json, datetimes, _ = _CK.parse(html)
+    return _assemble_c(title, blocks, ld_json, datetimes)
 
 
 def parse_document(html) -> Document:
@@ -169,7 +175,21 @@ def parse_document(html) -> Document:
 
 
 def extract_article(html) -> Document:
-    """Parse + run the Article pipeline; returns the processed Document."""
+    """Parse + run the Article pipeline; returns the processed Document.
+
+    Fast path: the C kernel runs the whole pipeline (parse + 12 filters)
+    in one call for documents WITHOUT ld+json (the ld+json headline can
+    replace the title F2 matches against, so those documents fall back to
+    the Python pipeline after the merge — both pipelines are byte-parity
+    gated, so the mix is invisible in output)."""
+    if _CK is not None:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="surrogateescape")
+        title, blocks, ld_json, datetimes, filtered = _CK.extract(html)
+        doc = _assemble_c(title, blocks, ld_json, datetimes)
+        if not filtered:
+            article_pipeline(doc)
+        return doc
     doc = parse_document(html)
     article_pipeline(doc)
     return doc

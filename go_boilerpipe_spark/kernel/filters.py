@@ -63,7 +63,12 @@ def terminating_blocks(doc) -> bool:
     for tb in doc.text_blocks:
         if tb.num_words < 15:
             text = go_trim_space(tb.text)
-            if len(text.encode("utf-8", "surrogateescape")) >= 8:
+            blen = (
+                len(text)
+                if text.isascii()
+                else len(text.encode("utf-8", "surrogateescape"))
+            )
+            if blen >= 8:
                 text_lc = go_to_lower(text)
                 if (
                     text_lc.startswith("comments")
@@ -156,11 +161,16 @@ def go_to_lower(s: str) -> str:
     """Go strings.ToLower (filter.go:76, filter.go:168 call sites)."""
     if s.isascii():
         return s.lower()
-    return s.translate(_GO_LOWER_FIX).lower()
+    if "İ" in s or "Σ" in s:
+        s = s.translate(_GO_LOWER_FIX)
+    return s.lower()
 
 
 def _normalize_title_text(text: str) -> str:
-    text = text.replace(" ", " ").replace("'", "")
+    if "\xa0" in text:
+        text = text.replace("\xa0", " ")
+    if "'" in text:
+        text = text.replace("'", "")
     return go_to_lower(go_trim_space(text))
 
 

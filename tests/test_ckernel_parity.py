@@ -43,14 +43,14 @@ def pure_state(html):
 
 
 def c_state(html):
-    title, blocks, ld_json, dts = ck.parse(html)
+    title, blocks, ld_json, dts, filtered = ck.parse(html)
+    assert filtered is False
     out = []
-    for (text, nw, nlw, nwiwl, nwl, o1, o2, tl, labels) in blocks:
-        lm = {}
-        for lab in labels:
-            lm[lab] = lm.get(lab, 0) + 1
+    for (text, nw, nlw, nwiwl, nwl, o1, o2, tl, is_content,
+         label_pairs) in blocks:
+        assert is_content is False  # raw parse: nothing classified yet
         out.append((text, nw, nlw, nwiwl, nwl, o1, o2, tl,
-                    tuple(sorted(lm.items()))))
+                    tuple(sorted(label_pairs))))
     t = None
     for v in dts:
         r = parse_rfc3339(v)
@@ -191,25 +191,90 @@ def test_fuzz_tag_soup_identical():
         assert_same(s, f"fuzz {t}: {s[:60]!r}")
 
 
-def test_full_pipeline_content_identical():
-    # run the Article filter chain on both parses and compare rendered
-    # bytes (filters consume counters/labels, so this catches any drift
-    # the raw block compare might miss in is_content semantics)
-    from go_boilerpipe_spark.kernel.document import _parse_document_c
+def _pure_extract(html):
+    h = parse_to_handler(html)
+    h.flush_block()
+    d = _finish_document(h.title, h.text_blocks, h.ld_json, h.time)
+    article_pipeline(d)
+    return d
 
-    rng = random.Random(7)
+
+def _doc_fingerprint(d):
+    return (
+        d.title, d.date, d.content(),
+        [(tb.text, tb.is_content, tuple(sorted(tb.label_map.items())),
+          tb.num_words, tb.num_linked_words, tb.tag_level,
+          tb.offset_blocks_start, tb.offset_blocks_end)
+         for tb in d.text_blocks],
+    )
+
+
+def test_full_pipeline_content_identical():
+    # the C extract() path (parse + 12 filters in C for no-ld+json docs,
+    # Python pipeline otherwise) must match the pure pipeline exactly —
+    # content bytes, titles, dates, per-block flags and labels
+    from go_boilerpipe_spark.kernel.document import extract_article
+
     docs = [open(f"/root/reference/testdata/{i}.html", "rb").read().decode(
         "utf-8", "surrogateescape") for i in range(7)]
     for html in docs + QUIRKS:
-        d_c = _parse_document_c(html)
-        article_pipeline(d_c)
-        h = parse_to_handler(html)
-        h.flush_block()
-        d_p = _finish_document(h.title, h.text_blocks, h.ld_json, h.time)
-        article_pipeline(d_p)
-        assert d_c.content() == d_p.content()
-        assert d_c.title == d_p.title
-        assert d_c.date == d_p.date
-        assert [tb.is_content for tb in d_c.text_blocks] == [
-            tb.is_content for tb in d_p.text_blocks
-        ]
+        d_c = extract_article(html)
+        d_p = _pure_extract(html)
+        assert _doc_fingerprint(d_c) == _doc_fingerprint(d_p), html[:60]
+
+
+TITLE_QUIRKS = [
+    # F2 exercises: separators, .com parts, removals, NBSP, apostrophes,
+    # uppercase non-ascii (simple-vs-full lowercase parity), backspaces
+    "<title>Real Title | Site Name</title><body><p>real title</p><p>%s</p></body>" % ("word " * 30),
+    "<title>One - Two - Three</title><body><p>one</p><p>%s</p></body>" % ("word " * 30),
+    "<title>example.com | The Story</title><body><p>the story</p><p>%s</p></body>" % ("word " * 30),
+    "<title>НОВОСТИ СЕГОДНЯ</title><body><p>новости сегодня</p><p>%s</p></body>" % ("word " * 30),
+    "<title>ΕΛΛΑΣ NEWS</title><body><p>ελλασ news</p><p>%s</p></body>" % ("word " * 30),
+    "<title>İSTANBUL HABER</title><body><p>istanbul haber</p><p>%s</p></body>" % ("word " * 30),
+    "<title>What?! A Title.</title><body><p>what a title</p><p>%s</p></body>" % ("word " * 30),
+    "<title>Tale - of - many - dashes</title><body><p>tale</p><p>%s</p></body>" % ("word " * 30),
+    "<title>NBSP Title</title><body><p>nbsp title</p><p>%s</p></body>" % ("word " * 30),
+    "<title>Don't Stop</title><body><p>dont stop</p><p>%s</p></body>" % ("word " * 30),
+    "<title>abcd spaced words</title><body><p>abcd</p><p>%s</p></body>" % ("word " * 30),
+    "<title>x » y » z</title><body><p>y</p><p>%s</p></body>" % ("word " * 30),
+    # F1 exercises
+    "<body><p>%s</p><p>Comments</p><p>42 comments</p><p>Post a comment</p></body>" % ("word " * 30),
+    "<body><p>%s</p><p>© Reuters All Rights</p><p>RÄTTA ARTIKELN här</p></body>" % ("word " * 30),
+    "<body><p>%s</p><a href=x>Comment</a></body>" % ("word " * 30),
+    "<body><p>%s</p><p>Thanks for your comments - this feedback is now closed</p></body>" % ("word " * 30),
+    # F12 list-at-end / F11 same-level
+    "<body><div><p>%s</p></div><ul><li>item one two three</li></ul></body>" % ("word " * 200),
+    "<body><p>%s</p><div><p>%s</p></div></body>" % ("word " * 200, "word " * 120),
+]
+
+
+def test_filter_chain_quirks_identical():
+    from go_boilerpipe_spark.kernel.document import extract_article
+
+    for html in TITLE_QUIRKS:
+        d_c = extract_article(html)
+        d_p = _pure_extract(html)
+        assert _doc_fingerprint(d_c) == _doc_fingerprint(d_p), html[:70]
+
+
+def test_fuzz_full_pipeline_identical():
+    from go_boilerpipe_spark.kernel.document import extract_article
+
+    rng = random.Random(31337)
+    words = ["word", "apple", "Σίγμα", "İzmir", "STRASSE", "中文", "x" * 30]
+    tags = ["<p>", "</p>", "<div>", "</div>", "<a href=u>", "</a>", "<h1>",
+            "</h1>", "<li>", "</li>", "<ul>", "</ul>", "<body>", "</body>",
+            "<title>", "</title>", "<br>", " | ", " - ", " » ", ".com",
+            "Comments", "add comment", "", " ", "'", "?", "!", "."]
+    for t in range(400):
+        parts = []
+        for _ in range(rng.randint(1, 30)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(words) + " ")
+            else:
+                parts.append(rng.choice(tags))
+        html = "".join(parts)
+        d_c = extract_article(html)
+        d_p = _pure_extract(html)
+        assert _doc_fingerprint(d_c) == _doc_fingerprint(d_p), html[:80]
