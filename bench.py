@@ -162,6 +162,10 @@ def main():
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
         pairs = []
         for p in range(n_pairs):
+            # settle between sessions: let the previous JVM fully exit and
+            # the OS reclaim its pages — teardown bleeding into the next
+            # timed run showed up as low first-pair outliers
+            time.sleep(5)
             if p % 2 == 0:
                 n1 = _extract_bench(2, n_docs=SCALING_DOCS, trials=1)
                 n4 = _extract_bench(8, n_docs=SCALING_DOCS, trials=1)
@@ -170,6 +174,7 @@ def main():
                 n1 = _extract_bench(2, n_docs=SCALING_DOCS, trials=1)
             pairs.append((n1, n4,
                           (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0))
+        in_order = [round(p[2], 3) for p in pairs]  # execution order
         pairs.sort(key=lambda p: p[2])
         n1, n4, eff = pairs[len(pairs) // 2]  # median pair
         scaling = {
@@ -178,7 +183,7 @@ def main():
             "docs_per_sec_n": n1["docs_per_sec"],
             "docs_per_sec_4n": n4["docs_per_sec"],
             "efficiency": round(eff, 3),
-            "efficiency_pairs": [round(p[2], 3) for p in pairs],
+            "efficiency_pairs": in_order,
             "output_identical": n1["checksum"] == n4["checksum"]
             and n1["docs"] == n4["docs"],
             "scaling_docs": SCALING_DOCS,
