@@ -2846,7 +2846,8 @@ static PyObject *blocks_to_py(Handler *h)
  * override the title F2 uses, so those documents return raw blocks and
  * the caller runs the Python pipeline after the merge).
  * Returns (title, blocks, ld_json, datetimes, filtered: bool). */
-static PyObject *parse_impl(PyObject *html, int run_filters)
+static PyObject *parse_impl(PyObject *html, int run_filters,
+                            PyObject *title_override)
 {
     if (!g_ready) {
         PyErr_SetString(PyExc_RuntimeError, "init_tables() not called");
@@ -2875,12 +2876,16 @@ static PyObject *parse_impl(PyObject *html, int run_filters)
         rc = flush_block(&h);
 
     int filtered = 0;
-    if (rc == 0 && run_filters && PyList_GET_SIZE(h.ld_json) == 0) {
+    if (rc == 0 && run_filters &&
+        (title_override != NULL || PyList_GET_SIZE(h.ld_json) == 0)) {
+        /* title_override: the ld+json-merged title from the second call
+         * on documents whose first extract() returned filtered=False */
+        PyObject *tsrc = title_override ? title_override : h.title;
         Py_UCS4 *tb = NULL;
         Py_ssize_t tn = 0;
-        if (h.title) {
-            tn = PyUnicode_GET_LENGTH(h.title);
-            tb = PyUnicode_AsUCS4Copy(h.title);
+        if (tsrc) {
+            tn = PyUnicode_GET_LENGTH(tsrc);
+            tb = PyUnicode_AsUCS4Copy(tsrc);
             if (!tb)
                 rc = -1;
         }
@@ -2913,15 +2918,21 @@ static PyObject *py_parse(PyObject *self, PyObject *args)
     PyObject *html;
     if (!PyArg_ParseTuple(args, "U", &html))
         return NULL;
-    return parse_impl(html, 0);
+    return parse_impl(html, 0, NULL);
 }
 
 static PyObject *py_extract(PyObject *self, PyObject *args)
 {
-    PyObject *html;
-    if (!PyArg_ParseTuple(args, "U", &html))
+    PyObject *html, *override = NULL;
+    if (!PyArg_ParseTuple(args, "U|O", &html, &override))
         return NULL;
-    return parse_impl(html, 1);
+    if (override == Py_None)
+        override = NULL;
+    if (override && !PyUnicode_Check(override)) {
+        PyErr_SetString(PyExc_TypeError, "title override must be str");
+        return NULL;
+    }
+    return parse_impl(html, 1, override);
 }
 
 static PyObject *py_unescape(PyObject *self, PyObject *args)

@@ -243,6 +243,16 @@ TITLE_QUIRKS = [
     "<body><p>%s</p><p>© Reuters All Rights</p><p>RÄTTA ARTIKELN här</p></body>" % ("word " * 30),
     "<body><p>%s</p><a href=x>Comment</a></body>" % ("word " * 30),
     "<body><p>%s</p><p>Thanks for your comments - this feedback is now closed</p></body>" % ("word " * 30),
+    # ld+json override path: the merged headline replaces what F2
+    # matches; these take the second C call with the title override
+    '<script type="application/ld+json">{"@type":"Article","headline":"Merged Headline"}</script>'
+    "<title>Original Title</title><body><p>merged headline</p><p>%s</p></body>" % ("word " * 30),
+    '<script type="application/ld+json">{"@type":"Article","headline":""}</script>'
+    "<title>Fallback Title</title><body><p>fallback title</p><p>%s</p></body>" % ("word " * 30),
+    '<script type="application/ld+json">{broken json</script>'
+    "<title>Broken LD</title><body><p>broken ld</p><p>%s</p></body>" % ("word " * 30),
+    '<script type="application/ld+json">{"@type":"NewsArticle","headline":"News H"}</script>'
+    "<body><p>news h</p><p>%s</p></body>" % ("word " * 30),
     # F12 list-at-end / F11 same-level
     "<body><div><p>%s</p></div><ul><li>item one two three</li></ul></body>" % ("word " * 200),
     "<body><p>%s</p><div><p>%s</p></div></body>" % ("word " * 200, "word " * 120),
