@@ -449,6 +449,32 @@ def _q_contamination(spark, sf):
     return curation.contamination_pairs(d, probes)
 
 
+def _q_contamination_indexed(spark, sf):
+    # the 10^5+-probe decontamination path: anchor-token inverted join +
+    # exact verify; probes cover both branches (multi-token 40-char
+    # slices -> anchored; a 9-char slice -> the short-probe fallback)
+    d = _t(spark, sf, "documents")
+    probes_a = (
+        d.filter(F.col("doc_id").isin(3, 7))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring("text", 50, 40).alias("phrase"),
+        )
+        .filter(F.length("phrase") == 40)
+    )
+    probes_b = (
+        d.filter(F.col("doc_id") == 5)
+        .select(
+            (F.col("doc_id") + 1000).alias("probe_id"),
+            F.substring("text", 10, 9).alias("phrase"),
+        )
+        .filter(F.length("phrase") == 9)
+    )
+    return curation.contamination_pairs_indexed(
+        d, probes_a.unionByName(probes_b)
+    )
+
+
 def _q_sample_stratified(spark, sf):
     d = _t(spark, sf, "documents")
     return curation.stratified_sample(
@@ -750,6 +776,7 @@ _RAW_QUERIES = {
         "dedup_keep": _q_dedup_keep,
         "dedup_clusters": _q_dedup_clusters,
         "contamination": _q_contamination,
+        "contamination_indexed": _q_contamination_indexed,
         "sample_stratified": _q_sample_stratified,
         "top_terms": _q_top_terms,
         "segment_dedup": _q_segment_dedup,
@@ -1404,6 +1431,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS probe_id, substr(text, 50, 40) AS phrase
               FROM documents
               WHERE doc_id IN (3, 7) AND length(substr(text, 50, 40)) = 40
+            )
+            SELECT d.doc_id, p.probe_id
+            FROM documents d, probes p
+            WHERE contains(d.text, p.phrase)
+        """,
+        "contamination_indexed": """
+            WITH probes AS (
+              SELECT doc_id AS probe_id, substr(text, 50, 40) AS phrase
+              FROM documents
+              WHERE doc_id IN (3, 7) AND length(substr(text, 50, 40)) = 40
+              UNION ALL
+              SELECT doc_id + 1000 AS probe_id, substr(text, 10, 9) AS phrase
+              FROM documents
+              WHERE doc_id = 5 AND length(substr(text, 10, 9)) = 9
             )
             SELECT d.doc_id, p.probe_id
             FROM documents d, probes p

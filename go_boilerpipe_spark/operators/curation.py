@@ -35,6 +35,80 @@ def contamination_pairs(
     )
 
 
+def contamination_pairs_indexed(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Decontamination for LARGE probe sets (the 10^5+ upgrade path the
+    broadcast-contains scan documents): identical output pairs, but the
+    corpus is scanned against ONE anchor token per probe instead of
+    running |probes| contains() per row.
+
+    Soundness: any whitespace-delimited token strictly INSIDE a probe
+    phrase (not its possibly-cut first/last token) is delimited by the
+    phrase's own whitespace, which a verbatim substring match copies into
+    the document — so the anchor token must appear as a document token.
+    Anchor = the longest interior token (deterministic tie-break on
+    value; longest ≈ most selective). Probes too short to have an
+    interior token fall back to the broadcast-contains scan.
+
+    Plan shape at 100 TB: explode distinct doc tokens (map-side) →
+    broadcast-hash join on the anchor (map-side, no shuffle) → distinct
+    candidates (tiny shuffle) → candidates broadcast back onto the corpus
+    for exact contains() verification (map-side). The only wide exchange
+    is over the candidate set, which is output-sized."""
+    probe_cols = probes.select(probe_id_col, phrase_col)
+    ptoks = F.split(F.col(phrase_col), "\\s+")
+    interior = F.slice(ptoks, 2, F.greatest(F.size(ptoks) - 2, F.lit(0)))
+    anchor = F.array_max(
+        F.transform(
+            interior,
+            lambda t: F.struct(
+                F.length(t).alias("l"), t.alias("t")
+            ),
+        )
+    )["t"]
+    anchored = probe_cols.select(
+        probe_id_col, phrase_col, anchor.alias("_anchor")
+    )
+    with_anchor = anchored.filter(
+        F.col("_anchor").isNotNull() & (F.length("_anchor") > 0)
+    )
+    short = anchored.filter(
+        F.col("_anchor").isNull() | (F.length("_anchor") == 0)
+    ).drop("_anchor")
+
+    doc_toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), "\\s+"))
+        ).alias("_tok"),
+    )
+    cands = (
+        doc_toks.join(
+            F.broadcast(with_anchor.select(probe_id_col, "_anchor")),
+            doc_toks["_tok"] == F.col("_anchor"),
+        )
+        .select(id_col, probe_id_col)
+        .distinct()
+    )
+    verified = (
+        docs.select(id_col, text_col)
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(probe_cols), probe_id_col)
+        .filter(F.col(text_col).contains(F.col(phrase_col)))
+        .select(id_col, probe_id_col)
+    )
+    fallback = contamination_pairs(
+        docs, short, id_col, text_col, probe_id_col, phrase_col
+    )
+    return verified.unionByName(fallback)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -421,6 +421,42 @@ class TestCuration:
         assert out == {"a2": "a2", "b": "a2", "c": "a2", "d": "a2",
                        "zz": "zz"}
 
+    def test_contamination_indexed_equals_scan(self, spark):
+        # the anchor-token inverted join must return EXACTLY the pairs the
+        # broadcast-contains scan returns, including mid-word probe
+        # starts, whitespace runs, and short probes (fallback branch)
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "prefix quick brown fox suffix"),
+                (3, "quick  brown fox double space"),
+                (4, "nothing to see here at all"),
+                (5, "ick brown fo appears mid word"),
+                (6, "singletoken standalone words"),
+                (7, " leading space quick brown fox"),
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [
+                (10, "quick brown fox"),      # interior token 'brown'
+                (11, "ick brown fo"),         # cut edges, interior 'brown'
+                (12, "singletoken"),          # no interior -> fallback
+                (13, "zz qq absent phrase"),  # matches nothing
+                (14, "quick  brown fox"),     # whitespace run preserved
+            ],
+            "probe_id long, phrase string",
+        )
+        scan = {(r["doc_id"], r["probe_id"]) for r in
+                curation.contamination_pairs(docs, probes).collect()}
+        idx = {(r["doc_id"], r["probe_id"]) for r in
+               curation.contamination_pairs_indexed(docs, probes).collect()}
+        assert idx == scan
+        assert (1, 10) in idx and (6, 12) in idx and (3, 14) in idx
+        assert (5, 11) in idx and (2, 10) in idx
+
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
 
