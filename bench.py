@@ -35,9 +35,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
 # scaling pairs run on a larger corpus so the N=local[2] side stays >=120 s
-# (VERDICT r2 item 6): with the compiled kernel the 12k corpus finishes in
-# seconds and fixed costs (codegen/JIT, scheduler) would bias the ratio
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "96000"))
+# (VERDICT r2 item 6): with the compiled kernel the N side clears ~2000
+# docs/s, so 288k docs keep the run long enough that transient ambient
+# spikes and fixed costs stay <3% of the measured ratio
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "288000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 REPO = pathlib.Path(__file__).resolve().parent
 
