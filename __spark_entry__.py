@@ -126,11 +126,24 @@ def _url_adv_col():
 
 
 def _marker_sql(col: str, words) -> str:
-    """SQL twin of textstats._marker_hits (same whitespace-run widening +
-    alternation, same RE2/Java leftmost non-overlapping count semantics)."""
+    """SQL twin of textstats._marker_hits applied to a RAW text column
+    (same whitespace-run widening + alternation, same RE2/Java leftmost
+    non-overlapping count semantics)."""
     pat = " (" + "|".join(words) + ") "
     widened = f"regexp_replace(lower({col}), '\\s+', '  ', 'g')"
     return f"len(regexp_extract_all(' ' || {widened} || ' ', '{pat}'))"
+
+
+def _padded_sql(col: str) -> str:
+    """SQL twin of textstats.padded_lc — stage it once in a CTE, mirroring
+    the Spark-side single-projection staging (VERDICT r3 item 1)."""
+    return f"' ' || regexp_replace(lower({col}), '\\s+', '  ', 'g') || ' '"
+
+
+def _marker_sql_padded(padded_col: str, words) -> str:
+    """SQL twin of textstats._marker_hits over a pre-staged padded column."""
+    pat = " (" + "|".join(words) + ") "
+    return f"len(regexp_extract_all({padded_col}, '{pat}'))"
 
 
 def _marker_sql_old(col: str, words) -> str:
@@ -333,22 +346,43 @@ def _q_near_dup_jaccard(spark, sf):
 
 
 def _q_lang_id(spark, sf):
+    # stage the widening regex pass ONCE per row (its own projection —
+    # CollapseProject keeps a non-cheap alias referenced 4x staged), then
+    # score all four language arms from the staged column (VERDICT r3 item 1)
     d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang")
+    staged = d.select(
+        "doc_id", "text", textstats.padded_lc(F.col("text")).alias("_padded")
+    )
+    return staged.select(
+        "doc_id",
+        textstats.lang_id(F.col("text"), padded=F.col("_padded")).alias(
+            "pred_lang"
+        ),
     )
 
 
 def _q_quality(spark, sf):
+    # same staging trick: padded once, features once, score from the staged
+    # FEATURE columns (not from a recomputed feature tree)
     d = _t(spark, sf, "documents")
-    feats = textstats.quality_features(F.col("text"))
-    return d.select(
+    staged = d.select(
+        "doc_id", "text", textstats.padded_lc(F.col("text")).alias("_padded")
+    )
+    feats = textstats.quality_features(F.col("text"), padded=F.col("_padded"))
+    featured = staged.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["mean_word_len"].alias("mean_word_len"),
-        textstats.quality_score(F.col("text")).alias("quality_score"),
+    )
+    score = textstats.quality_score_from(
+        {k: F.col(k) for k in
+         ("n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len")}
+    )
+    return featured.select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_word_len", score.alias("quality_score"),
     )
 
 
@@ -588,8 +622,16 @@ def _q_ann_recall(spark, sf):
 
 def _q_lang_confusion(spark, sf):
     d = _t(spark, sf, "documents")
+    staged = d.select(
+        "lang", "text", textstats.padded_lc(F.col("text")).alias("_padded")
+    )
     return (
-        d.select("lang", textstats.lang_id(F.col("text")).alias("pred_lang"))
+        staged.select(
+            "lang",
+            textstats.lang_id(F.col("text"), padded=F.col("_padded")).alias(
+                "pred_lang"
+            ),
+        )
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
@@ -598,9 +640,16 @@ def _q_lang_confusion(spark, sf):
 def _q_quality_filter(spark, sf):
     # the C4/Gopher-style corpus gate: keep docs passing all quality checks
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", "lang",
-                    textstats.quality_score(F.col("text")).alias("q")) \
-        .filter(F.col("q") >= 0.7).select("doc_id", "lang", "q")
+    staged = d.select(
+        "doc_id", "lang", "text",
+        textstats.padded_lc(F.col("text")).alias("_padded"),
+    )
+    return staged.select(
+        "doc_id", "lang",
+        textstats.quality_score(
+            F.col("text"), padded=F.col("_padded")
+        ).alias("q"),
+    ).filter(F.col("q") >= 0.7).select("doc_id", "lang", "q")
 
 
 def _q_dedup_keep(spark, sf):
@@ -832,9 +881,16 @@ def _minhash_cte(num_hashes=8, bands=4, src="documents", pre=""):
 
 
 def _lang_id_sql():
-    s = {c: _marker_sql("text", ws) for c, ws in textstats.LANG_MARKERS.items()}
-    cjk = "(length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))".format()
+    # padded string staged ONCE in a CTE — mirrors the Spark-side staging
+    s = {
+        c: _marker_sql_padded("_padded", ws)
+        for c, ws in textstats.LANG_MARKERS.items()
+    }
+    cjk = "(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))"
     return f"""
+WITH staged AS (
+  SELECT doc_id, text, {_padded_sql("text")} AS _padded FROM documents
+)
 SELECT doc_id,
   CASE WHEN {cjk} * 5 > length(text) THEN 'zh'
        WHEN {s['en']} > 0 AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en'
@@ -842,7 +898,7 @@ SELECT doc_id,
        WHEN {s['fr']} > 0 AND {s['fr']} > {s['en']} AND {s['fr']} > {s['de']} AND {s['fr']} >= {s['es']} THEN 'fr'
        WHEN {s['es']} > 0 AND {s['es']} > {s['en']} AND {s['es']} > {s['de']} AND {s['es']} > {s['fr']} THEN 'es'
        ELSE 'und' END AS pred_lang
-FROM documents
+FROM staged
 """
 
 

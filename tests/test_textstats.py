@@ -42,7 +42,8 @@ def test_marker_hits_adjacency(spark):
         df.select(
             "i",
             textstats._marker_hits(
-                F.lower(F.col("text")), textstats.LANG_MARKERS["en"]
+                textstats.padded_lc(F.col("text")),
+                textstats.LANG_MARKERS["en"],
             ).alias("n"),
         ).collect()
     )
@@ -66,7 +67,9 @@ def test_marker_hits_equals_python_split(spark):
         got = dict(
             df.select(
                 "i",
-                textstats._marker_hits(F.lower(F.col("text")), ws).alias("n"),
+                textstats._marker_hits(
+                    textstats.padded_lc(F.col("text")), ws
+                ).alias("n"),
             ).collect()
         )
         for i, t in enumerate(texts):
