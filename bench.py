@@ -100,6 +100,7 @@ def _extract_bench(cores: int, n_docs: int = N_DOCS, halve: bool = False,
             parallelism=4 * cores,
         ).count()
 
+        load_before = os.getloadavg()[0]
         best, row = None, None
         for _ in range(trials):
             t0 = time.monotonic()
@@ -113,6 +114,12 @@ def _extract_bench(cores: int, n_docs: int = N_DOCS, halve: bool = False,
             "errors": int(row["errors"] or 0),
             "wall_sec": round(best, 3),
             "docs_per_sec": round(row["docs"] / best, 2),
+            # ambient-load telemetry (VERDICT r3 item 7): 1-min loadavg
+            # around the timed region; load_after minus our own core count
+            # approximates foreign load during the run (a saturated run of
+            # >=2x the 60s time constant drives loadavg ~= own cores)
+            "load_before": round(load_before, 2),
+            "load_after": round(os.getloadavg()[0], 2),
         }
     finally:
         spark.stop()
@@ -143,9 +150,10 @@ def _query_bench() -> tuple[dict, float]:
 
 def main():
     big = _extract_bench(CPUS)
-    # the 96k-skew corpus at saturation (VERDICT r2 item 10): records the
-    # big-corpus rate next to the 12k headline so both scales are on file
-    big96 = _extract_bench(CPUS, n_docs=SCALING_DOCS) if DO_SCALING else None
+    # the scaling-size skew corpus at saturation (VERDICT r2 item 10):
+    # records the big-corpus rate next to the 12k headline so both scales
+    # are on file (corpus size = SCALING_DOCS, recorded as scaling_docs)
+    bigsc = _extract_bench(CPUS, n_docs=SCALING_DOCS) if DO_SCALING else None
     scaling = None
     if DO_SCALING:
         # PAIRED runs: (a) ambient load on a shared box moves absolute
@@ -157,12 +165,21 @@ def main():
         # s), a fixed cost that eats ~8% of the short 4N run but ~2% of
         # the long N run — timing only first executions structurally
         # depresses the ratio.
-        # (c) the scaling corpus is 96k docs so the N=local[2] run is
-        # >=120 s — at that length the ~1-2 s first-plan compile is <2%,
-        # so a single timed run per side suffices (workers pre-warmed).
+        # (c) the scaling corpus (SCALING_DOCS, default 288k) makes the
+        # N=local[2] run >=120 s — at that length the ~1-2 s first-plan
+        # compile is <2%, so a single timed run per side suffices
+        # (workers pre-warmed).
+        # (d) ambient-load flagging (VERDICT r3 item 7): a side whose
+        # end-of-run 1-min loadavg exceeds its own core count by more
+        # than SPARK_GRAFT_LOAD_EXCESS (default 3.0 — own load drives
+        # loadavg ~= cores after >=2 time constants, plus ~1 of decay
+        # carryover from the sibling side) indicates foreign CPU during
+        # the timed region; flagged pairs are rerun once and excluded
+        # from the median when any clean pair exists.
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
-        pairs = []
-        for p in range(n_pairs):
+        load_excess = float(os.environ.get("SPARK_GRAFT_LOAD_EXCESS", "3.0"))
+
+        def run_pair(p):
             # settle between sessions: let the previous JVM fully exit and
             # the OS reclaim its pages — teardown bleeding into the next
             # timed run showed up as low first-pair outliers
@@ -173,11 +190,30 @@ def main():
             else:
                 n4 = _extract_bench(8, n_docs=SCALING_DOCS, trials=1)
                 n1 = _extract_bench(2, n_docs=SCALING_DOCS, trials=1)
-            pairs.append((n1, n4,
-                          (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0))
+            excess = max(n1["load_after"] - n1["cores"],
+                         n4["load_after"] - n4["cores"])
+            return (n1, n4,
+                    (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0,
+                    round(excess, 2))
+
+        pairs, reruns = [], 0
+        for p in range(n_pairs):
+            pair = run_pair(p)
+            if pair[3] > load_excess:  # foreign load: one rerun
+                reruns += 1
+                pair = run_pair(p)
+            pairs.append(pair)
         in_order = [round(p[2], 3) for p in pairs]  # execution order
-        pairs.sort(key=lambda p: p[2])
-        n1, n4, eff = pairs[len(pairs) // 2]  # median pair
+        loads = [
+            {"eff": round(p[2], 3), "load_excess": p[3],
+             "n_load": [p[0]["load_before"], p[0]["load_after"]],
+             "n4_load": [p[1]["load_before"], p[1]["load_after"]],
+             "flagged": p[3] > load_excess}
+            for p in pairs
+        ]
+        clean = [p for p in pairs if p[3] <= load_excess] or pairs
+        clean.sort(key=lambda p: p[2])
+        n1, n4, eff, _ = clean[len(clean) // 2]  # median clean pair
         scaling = {
             "n_cores": 2,
             "n4_cores": 8,
@@ -185,6 +221,9 @@ def main():
             "docs_per_sec_4n": n4["docs_per_sec"],
             "efficiency": round(eff, 3),
             "efficiency_pairs": in_order,
+            "pair_loads": loads,
+            "flagged_pairs": sum(1 for p in pairs if p[3] > load_excess),
+            "flagged_reruns": reruns,
             "output_identical": n1["checksum"] == n4["checksum"]
             and n1["docs"] == n4["docs"],
             "scaling_docs": SCALING_DOCS,
@@ -204,7 +243,9 @@ def main():
         "extract_docs": big["docs"],
         "extract_docs_per_sec": big["docs_per_sec"],
         "extract_parse_errors": big["errors"],
-        "extract_docs_per_sec_96k": big96["docs_per_sec"] if big96 else None,
+        "extract_docs_per_sec_scaling": (
+            bigsc["docs_per_sec"] if bigsc else None
+        ),
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -72,7 +72,13 @@ def _load_from_path(path: str):
 
 def _extract_from_zip():
     """Workers importing the package from a --py-files zip: pull the .so
-    bytes out through the zip loader and dlopen from a temp path."""
+    bytes out through the zip loader and dlopen from a temp path.
+
+    Hardened against shared-/tmp tenants (ADVICE r3): the extraction dir
+    is per-uid and created 0700 (refused if it already exists owned by
+    someone else), and a pre-existing .so is only trusted after its
+    content re-hashes to the digest of the zip bytes — otherwise it is
+    atomically replaced. A planted file therefore can never be dlopened."""
     loader = getattr(sys.modules[__package__], "__loader__", None)
     get_data = getattr(loader, "get_data", None)
     if get_data is None:
@@ -81,11 +87,25 @@ def _extract_from_zip():
         data = get_data(os.path.join(_HERE, _SO_NAME))
     except OSError:
         return None
-    digest = hashlib.md5(data).hexdigest()[:16]
-    out_dir = os.path.join(tempfile.gettempdir(), f"gbs_ckernel_{digest}")
+    digest = hashlib.sha256(data).hexdigest()
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"gbs_ckernel_u{uid}_{digest[:16]}"
+    )
     out = os.path.join(out_dir, _SO_NAME)
-    if not os.path.exists(out):
-        os.makedirs(out_dir, exist_ok=True)
+    try:
+        os.makedirs(out_dir, mode=0o700, exist_ok=True)
+        st = os.stat(out_dir)
+        if hasattr(os, "getuid") and st.st_uid != uid:
+            return None  # pre-created by another local user: do not use
+        os.chmod(out_dir, 0o700)
+    except OSError:
+        return None
+    fresh = True
+    if os.path.exists(out):
+        with open(out, "rb") as fh:
+            fresh = hashlib.sha256(fh.read()).hexdigest() != digest
+    if fresh:  # absent OR content mismatch: (re-)extract atomically
         tmp = out + f".{os.getpid()}.tmp"
         with open(tmp, "wb") as fh:
             fh.write(data)

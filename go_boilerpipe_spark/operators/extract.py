@@ -163,8 +163,19 @@ class PartitionCountersParam:
     """AccumulatorParam merging {partition_id: [docs_out, parse_errors,
     content_chars]} dicts — the per-partition lineage counters, accumulated
     INSIDE the extraction kernel so lineage needs zero post-write scans of
-    the chunk (VERDICT r2 item 4). Updates are applied once per successful
-    task (Spark's action-stage accumulator contract)."""
+    the chunk (VERDICT r2 item 4).
+
+    Exactness contract (ADVICE r3): with ``dedup_payloads=False`` the
+    counting mapInArrow runs in the job's final RESULT stage, where Spark
+    applies each task's accumulator update exactly once per successful
+    task — the counters are exact. With ``dedup_payloads=True`` the
+    counting stage feeds a shuffle (the join back to keyed rows), i.e. it
+    is a SHUFFLE-MAP stage, and Spark may re-run map tasks on fetch
+    failures / speculation and re-apply their updates — under those
+    (routine-at-100TB) conditions the dedup-path counters can OVER-count
+    and must be treated as approximate telemetry; the authoritative
+    docs_out for that path is the sink's write metrics / observe() row
+    counts on the result stage."""
 
     def zero(self, value):
         return {}

@@ -51,7 +51,12 @@ print(f"{mode}: {len(htmls)} docs in {dt:.1f}s "
 
 
 def run(repo, corpus, max_docs, pure):
-    dest = tempfile.mktemp(suffix=".pkl")
+    # mkstemp (not the race-prone deprecated mktemp): the parent creates
+    # the file atomically 0600 and owns it before the child path is ever
+    # interpolated — no window for another local user to pre-create or
+    # symlink the pickle we later load (ADVICE r3)
+    fd, dest = tempfile.mkstemp(suffix=".pkl")
+    os.close(fd)
     env = dict(os.environ)
     if pure:
         env["GO_BP_SPARK_PURE"] = "1"

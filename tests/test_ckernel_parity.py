@@ -288,3 +288,44 @@ def test_fuzz_full_pipeline_identical():
         d_c = extract_article(html)
         d_p = _pure_extract(html)
         assert _doc_fingerprint(d_c) == _doc_fingerprint(d_p), html[:80]
+
+
+def test_extract_from_zip_rejects_planted_so(monkeypatch, tmp_path):
+    """ADVICE r3 (medium): a pre-existing .so at the predictable shared-tmp
+    path must never be dlopened unless its content re-hashes to the digest
+    of the zip's own bytes — a planted file is atomically replaced."""
+    import hashlib
+    import os
+    import sys
+
+    data = b"genuine so bytes from the --py-files zip"
+
+    class FakeZipLoader:
+        def get_data(self, path):
+            return data
+
+    pkg = sys.modules["go_boilerpipe_spark.kernel"]
+    monkeypatch.setattr(pkg, "__loader__", FakeZipLoader(), raising=False)
+    loaded = {}
+    monkeypatch.setattr(
+        ckernel, "_load_from_path", lambda p: loaded.setdefault("path", p)
+    )
+    monkeypatch.setattr(
+        ckernel.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+
+    digest = hashlib.sha256(data).hexdigest()
+    d = tmp_path / f"gbs_ckernel_u{os.getuid()}_{digest[:16]}"
+    d.mkdir(mode=0o700)
+    so = d / ckernel._SO_NAME
+    so.write_bytes(b"EVIL PLANTED LIBRARY")
+
+    assert ckernel._extract_from_zip() is not None
+    assert so.read_bytes() == data          # planted content replaced
+    assert loaded["path"] == str(so)
+
+    # a matching pre-extracted file is reused as-is (no rewrite)
+    before = so.stat().st_mtime_ns
+    assert ckernel._extract_from_zip() is not None
+    assert so.stat().st_mtime_ns == before
+    assert (d.stat().st_mode & 0o777) == 0o700

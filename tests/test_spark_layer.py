@@ -400,12 +400,55 @@ class TestCuration:
             [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
         )
         ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        # local_threshold=0 forces the distributed star rounds (the
+        # driver-local union-find fast path would otherwise absorb a
+        # 99-edge graph)
         out = {r["doc_id"]: r["cluster_id"]
-               for r in dedup.duplicate_clusters(pairs, ids).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, ids, local_threshold=0).collect()}
         assert out == {i: 0 for i in range(n)}
+        assert dedup.duplicate_clusters.last_path == "star"
         assert dedup.duplicate_clusters.last_rounds <= 10, (
             dedup.duplicate_clusters.last_rounds
         )
+
+    def test_duplicate_clusters_paths_agree(self, spark):
+        # the driver-local union-find fast path and the distributed star
+        # rounds must produce identical cluster maps
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13),
+             (20, 21)],
+            "id_a long, id_b long",
+        )
+        ids = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 7, 10, 11, 12, 13, 20, 21)],
+            "doc_id long",
+        )
+        local = {r["doc_id"]: r["cluster_id"]
+                 for r in dedup.duplicate_clusters(pairs, ids).collect()}
+        assert dedup.duplicate_clusters.last_path == "local"
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(
+                    pairs, ids, local_threshold=0).collect()}
+        assert dedup.duplicate_clusters.last_path == "star"
+        assert local == star == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10,
+                                 12: 10, 13: 10, 20: 20, 21: 20}
+
+    def test_duplicate_clusters_max_iter_safe(self, spark):
+        # ADVICE r3: exhausting max_iter before the star fixpoint must
+        # warn and still emit exactly ONE row per id (single-valued map),
+        # never duplicate rows with nondeterministic labels
+        n = 40
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        with pytest.warns(RuntimeWarning, match="fixpoint"):
+            rows = dedup.duplicate_clusters(
+                pairs, ids, max_iter=1, local_threshold=0
+            ).collect()
+        assert len(rows) == n
+        assert len({r["doc_id"] for r in rows}) == n
 
     def test_duplicate_clusters_string_ids(self, spark):
         # ADVICE r2: string ids must not hit a decimal cast — the cluster
