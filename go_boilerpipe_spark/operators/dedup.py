@@ -279,18 +279,24 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     h: int = 8,
     max_bucket_size: int | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: sign-LSH bucket the vectors (the
     same Rademacher-projection LSH the similarity module uses), join
     within buckets only, keep pairs with cosine ≥ threshold. Near-identical
     vectors share sign patterns, so recall at ≥0.95 cosine is high while
     the join never goes quadratic. ``max_bucket_size`` caps bucket fan-in
-    before the self-join (identical embeddings all share one bucket)."""
+    before the self-join (identical embeddings all share one bucket).
+    ``bucket_col`` consumes a stored :func:`similarity.with_lsh_bucket`
+    column (same ``h``) instead of re-deriving the projection."""
     from .similarity import cosine_batched, sign_lsh_bucket_batched
 
+    bucket_expr = (
+        F.col(bucket_col) if bucket_col is not None
+        else sign_lsh_bucket_batched(F.col(vec_col), h)
+    )
     b = emb.select(
-        F.col(id_col), F.col(vec_col),
-        sign_lsh_bucket_batched(F.col(vec_col), h).alias("bucket"),
+        F.col(id_col), F.col(vec_col), bucket_expr.alias("bucket")
     )
     if max_bucket_size is not None:
         b = _cap_buckets(b, max_bucket_size)

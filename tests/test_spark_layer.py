@@ -347,6 +347,39 @@ class TestScaleHardening:
                 r["cb"] is None and r["cf"] is None
             ), (r["i"], r["cb"], r["cf"])
 
+    def test_stored_bucket_col_matches_derived(self, spark):
+        # VERDICT r3 item 3: a stored with_lsh_bucket column consumed via
+        # bucket_col must give the SAME results as in-plan derivation for
+        # every sign-LSH consumer (same h → same buckets → same joins).
+        import random
+
+        from go_boilerpipe_spark.operators import dedup
+
+        rng = random.Random(99)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        staged = similarity.with_lsh_bucket(emb, h=8)
+
+        for fn in (similarity.cosine_topk_lsh,
+                   similarity.cosine_topk_lsh_multiprobe):
+            derived = sorted(map(tuple, fn(emb, q, k=5, h=8).collect()))
+            stored = sorted(
+                map(tuple, fn(staged, q, k=5, h=8, bucket_col="bucket").collect())
+            )
+            assert stored == derived, fn.__name__
+
+        d_pairs = sorted(map(tuple, dedup.embedding_near_dup_pairs(
+            emb, threshold=0.3).collect()))
+        s_pairs = sorted(map(tuple, dedup.embedding_near_dup_pairs(
+            staged, threshold=0.3, bucket_col="bucket").collect()))
+        assert s_pairs == d_pairs
+
     def test_ivf_broadcast_centroids_no_collect(self, spark):
         import math
 
