@@ -2913,6 +2913,121 @@ static PyObject *parse_impl(PyObject *html, int run_filters,
     return result;
 }
 
+/* inverse of blocks_to_py: rebuild the CBlock array from the tuples a
+ * previous extract()/parse() call returned, so the Article pipeline can
+ * re-run WITHOUT re-parsing the document (the ld+json title-override
+ * path: ~6% of real crawls carry ld+json whose merged headline must be
+ * known before f_title_match; boilerpipe.go:124-148). */
+static int blocks_from_py(Handler *h, PyObject *blocks)
+{
+    PyObject *seq = PySequence_Fast(blocks, "blocks must be a sequence");
+    if (!seq)
+        return -1;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *blk = PySequence_Fast_GET_ITEM(seq, i);
+        PyObject *text, *labels, *is_content;
+        long nw, nlw, nwiwl, nwl, o1, o2, tag_level;
+        if (!PyArg_ParseTuple(blk, "UlllllllOO!", &text, &nw, &nlw,
+                              &nwiwl, &nwl, &o1, &o2, &tag_level,
+                              &is_content, &PyTuple_Type, &labels)) {
+            Py_DECREF(seq);
+            return -1;
+        }
+        CBlock *cb = (CBlock *)PyMem_Malloc(sizeof(CBlock));
+        if (!cb) {
+            Py_DECREF(seq);
+            PyErr_NoMemory();
+            return -1;
+        }
+        memset(cb, 0, sizeof(CBlock));
+        cb->text_len = PyUnicode_GET_LENGTH(text);
+        cb->text = (u32 *)PyUnicode_AsUCS4Copy(text);
+        if (!cb->text) {
+            PyMem_Free(cb);
+            Py_DECREF(seq);
+            return -1;
+        }
+        cb->num_words = nw;
+        cb->num_linked_words = nlw;
+        cb->nwiwl = nwiwl;
+        cb->nwl = nwl;
+        cb->off_start = o1;
+        cb->off_end = o2;
+        cb->tag_level = (int)tag_level;
+        cb->is_content = PyObject_IsTrue(is_content);
+        Py_ssize_t np = PyTuple_GET_SIZE(labels);
+        for (Py_ssize_t j = 0; j < np; j++) {
+            PyObject *pair = PyTuple_GET_ITEM(labels, j);
+            long t, cnt;
+            if (!PyArg_ParseTuple(pair, "ll", &t, &cnt)) {
+                cblock_free(cb);
+                Py_DECREF(seq);
+                return -1;
+            }
+            if (t >= 0 && t < N_LABELS)
+                cb->labels[t] = cnt;
+        }
+        if (h->nblocks >= h->cap_blocks) {
+            Py_ssize_t nc = h->cap_blocks ? h->cap_blocks * 2 : 64;
+            CBlock **npb = (CBlock **)PyMem_Realloc(
+                h->blocks, (size_t)nc * sizeof(CBlock *));
+            if (!npb) {
+                cblock_free(cb);
+                Py_DECREF(seq);
+                PyErr_NoMemory();
+                return -1;
+            }
+            h->blocks = npb;
+            h->cap_blocks = nc;
+        }
+        h->blocks[h->nblocks++] = cb;
+    }
+    Py_DECREF(seq);
+    return 0;
+}
+
+/* filter_blocks(blocks, title) -> blocks: Article pipeline over
+ * pre-parsed raw blocks — no tokenizer re-entry. */
+static PyObject *py_filter_blocks(PyObject *self, PyObject *args)
+{
+    PyObject *blocks, *title = NULL;
+    if (!PyArg_ParseTuple(args, "O|O", &blocks, &title))
+        return NULL;
+    if (title == Py_None)
+        title = NULL;
+    if (title && !PyUnicode_Check(title)) {
+        PyErr_SetString(PyExc_TypeError, "title override must be str");
+        return NULL;
+    }
+    if (!g_ready) {
+        PyErr_SetString(PyExc_RuntimeError, "init_tables() not called");
+        return NULL;
+    }
+    Handler h;
+    if (h_init(&h) < 0) {
+        h_free(&h);
+        return NULL;
+    }
+    int rc = blocks_from_py(&h, blocks);
+    Py_UCS4 *tb = NULL;
+    Py_ssize_t tn = 0;
+    if (rc == 0 && title) {
+        tn = PyUnicode_GET_LENGTH(title);
+        tb = PyUnicode_AsUCS4Copy(title);
+        if (!tb)
+            rc = -1;
+    }
+    if (rc == 0)
+        rc = run_article_pipeline(&h, (const u32 *)tb, tn);
+    PyMem_Free(tb);
+    PyObject *result = NULL;
+    if (rc == 0)
+        result = blocks_to_py(&h);
+    h_free(&h);
+    return result;
+}
+
 static PyObject *py_parse(PyObject *self, PyObject *args)
 {
     PyObject *html;
@@ -2963,6 +3078,9 @@ static PyMethodDef ckernel_methods[] = {
      "Install the shared kernel tables (idempotent)."},
     {"parse", py_parse, METH_VARARGS,
      "parse(html) -> (title, raw_blocks, ld_json, datetimes, False)"},
+    {"filter_blocks", py_filter_blocks, METH_VARARGS,
+     "filter_blocks(blocks, title) -> blocks — run the Article pipeline "
+     "on pre-parsed raw blocks (ld+json title-override path; no re-parse)"},
     {"extract", py_extract, METH_VARARGS,
      "extract(html) -> (title, blocks, ld_json, datetimes, filtered) — "
      "runs the Article pipeline in C when no ld+json is present"},

@@ -88,6 +88,50 @@ def test_goldens_bytewise_content_through_c():
         assert doc.content().encode() == exp, f"golden {i} byte diff"
 
 
+def test_filter_blocks_equals_override_reparse():
+    # VERDICT r3 item 4: the filters-only re-entry (filter_blocks on the
+    # first call's raw blocks) must equal the old override re-parse path
+    # block-for-block — including on ld+json documents where the merged
+    # headline overrides the title F2 matches against.
+    import json
+
+    from go_boilerpipe_spark.kernel.document import extract_article
+    from go_boilerpipe_spark.kernel.ldjson import (
+        LinkedDataArticle,
+        merge_linked_data,
+    )
+
+    ld = json.dumps({"@type": "Article", "headline": "The Real Headline"})
+    body = "<p>" + " ".join(f"word{i} plain" for i in range(40)) + "</p>"
+    docs = [
+        "<html><head><title>Page | The Real Headline</title>"
+        f'<script type="application/ld+json">{ld}</script></head>'
+        f"<body><h1>The Real Headline</h1>{body}"
+        f"<div><a href=x>nav nav nav</a></div></body></html>",
+        # ld+json present but unparsable → headline stays the <title>
+        '<html><head><title>T</title><script type="application/ld+json">'
+        f"not json</script></head><body>{body}</body></html>",
+        # no ld+json: single-call fast path (filtered=True)
+        f"<html><head><title>T</title></head><body>{body}</body></html>",
+    ]
+    for i, html in enumerate(docs):
+        title, blocks, ld_json, dts, filtered = ck.extract(html)
+        if filtered:
+            continue
+        art = LinkedDataArticle()
+        for s in ld_json:
+            if merge_linked_data(art, s) and art.type == "Article":
+                break
+        ft = art.headline if art.headline else title
+        old = ck.extract(html, ft)
+        assert old[4] is True
+        new_blocks = ck.filter_blocks(blocks, ft)
+        assert new_blocks == old[1], f"doc {i} block diff"
+        # and the public API end-to-end still extracts
+        doc = extract_article(html)
+        assert doc.content() is not None
+
+
 QUIRKS = [
     # raw-text elements & escape states
     "<script>var a='</notscript>'</script><p>after script text here</p>",
