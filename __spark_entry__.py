@@ -98,21 +98,27 @@ def _url_col():
 
 # Adversarial URL shapes for the url_normalize oracle (VERDICT r1 item 7):
 # bare host (the "/." path.Clean quirk), dup slashes + trailing slash +
-# query/fragment, dot-segments, schemeless + ".."-resolution.
+# query/fragment, dot-segments, schemeless + ".."-resolution, and (r3
+# item 5) opaque scheme-colon forms without "//" — relative-path clean
+# that KEEPS leading "..".
 _URL_ADV_EXPR_SQL = (
-    "CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || upper(source) || '.COM' "
-    "WHEN doc_id % 4 = 1 THEN 'HTTP://WWW.' || upper(source) || "
+    "CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.' || upper(source) || '.COM' "
+    "WHEN doc_id % 6 = 1 THEN 'HTTP://WWW.' || upper(source) || "
     "'.COM/A//B/' || doc_id || '/?utm_source=x&y=1#frag' "
-    "WHEN doc_id % 4 = 2 THEN 'HTTPS://WWW.' || upper(source) || "
+    "WHEN doc_id % 6 = 2 THEN 'HTTPS://WWW.' || upper(source) || "
     "'.COM/A/../B/./' || doc_id || '/' "
-    "ELSE 'WWW.' || upper(source) || '.COM/X/' || doc_id || '/../' || doc_id "
-    "|| '#frag' END"
+    "WHEN doc_id % 6 = 3 THEN 'WWW.' || upper(source) || '.COM/X/' || "
+    "doc_id || '/../' || doc_id || '#frag' "
+    "WHEN doc_id % 6 = 4 THEN 'MAILTO:U' || doc_id || '@' || "
+    "upper(source) || '.COM?subject=x' "
+    "ELSE upper(source) || ':80' || doc_id || '/A/./B/../' || doc_id || "
+    "'/../../C' END"
 )
 
 
 def _url_adv_col():
     host = F.concat(F.lit("WWW."), F.upper("source"), F.lit(".COM"))
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 6
     did = F.col("doc_id")
     return (
         F.when(m == 0, F.concat(F.lit("HTTP://"), host))
@@ -120,8 +126,12 @@ def _url_adv_col():
                                F.lit("/?utm_source=x&y=1#frag")))
         .when(m == 2, F.concat(F.lit("HTTPS://"), host, F.lit("/A/../B/./"),
                                did, F.lit("/")))
-        .otherwise(F.concat(host, F.lit("/X/"), did, F.lit("/../"), did,
-                            F.lit("#frag")))
+        .when(m == 3, F.concat(host, F.lit("/X/"), did, F.lit("/../"), did,
+                               F.lit("#frag")))
+        .when(m == 4, F.concat(F.lit("MAILTO:U"), did, F.lit("@"),
+                               F.upper("source"), F.lit(".COM?subject=x")))
+        .otherwise(F.concat(F.upper("source"), F.lit(":80"), did,
+                            F.lit("/A/./B/../"), did, F.lit("/../../C")))
     )
 
 
@@ -284,8 +294,9 @@ def _q_orders_join(spark, sf):
 
 def _q_url_normalize(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id", urls.normalize_url(_url_adv_col()).alias("norm_url")
+    staged = d.select("doc_id", _url_adv_col().alias("_raw"))
+    return urls.with_normalized_url(staged, "_raw").select(
+        "doc_id", "norm_url"
     )
 
 
@@ -1000,35 +1011,72 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB twin of functions/urls.py normalize_url: default scheme, strip
     # query/fragment, path.Clean via a list_reduce fold (string accumulator,
     # the rooted path's leading "" segment is the seed), "/." bare-host quirk.
+    # mirror of functions/urls.py normalize_url: scheme = lazy first-colon
+    # prefix; authority form iff schemeless or rest starts with "//";
+    # otherwise opaque (host='', rest is the path, RELATIVE clean keeps
+    # leading ".." runs). list_prepend('') gives the fold the same empty
+    # seed Spark's aggregate() uses (DuckDB list_reduce seeds with the
+    # first ELEMENT otherwise, which breaks relative paths).
     url_norm_sql = f"""
         WITH r AS (
           SELECT doc_id, {_URL_ADV_EXPR_SQL} AS raw FROM documents
-        ), s AS (
-          SELECT doc_id,
-            CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
-                 THEN raw ELSE 'http://' || raw END AS u0
-          FROM r
         ), t AS (
-          SELECT doc_id, regexp_replace(u0, '[?#].*$', '') AS u FROM s
-        ), p AS (
-          SELECT doc_id,
-            regexp_extract(u, '^([^/]*//[^/]*)', 1) AS pre,
-            substr(u, length(regexp_extract(u, '^([^/]*//[^/]*)', 1)) + 1)
-              AS rawpath
+          SELECT doc_id, regexp_replace(raw, '[?#].*$', '') AS s FROM r
+        ), sc AS (
+          SELECT doc_id, s,
+            regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*?):', 1) AS scheme
           FROM t
-        ), f AS (
-          SELECT doc_id, pre, rawpath,
-            list_reduce(string_split(rawpath, '/'), (acc, x) ->
+        ), re AS (
+          SELECT doc_id, scheme,
+            CASE WHEN scheme = '' THEN s
+                 ELSE substr(s, length(scheme) + 2) END AS rest
+          FROM sc
+        ), au AS (
+          SELECT doc_id, scheme, rest,
+            (scheme = '' OR rest LIKE '//%') AS is_auth,
+            CASE WHEN scheme = '' THEN rest
+                 WHEN rest LIKE '//%' THEN substr(rest, 3)
+                 ELSE '' END AS hostpath
+          FROM re
+        ), hp AS (
+          SELECT doc_id, scheme, is_auth,
+            CASE WHEN is_auth
+                 THEN regexp_extract(hostpath, '^([^/]*)', 1)
+                 ELSE '' END AS host,
+            CASE WHEN is_auth
+                 THEN substr(hostpath,
+                      length(regexp_extract(hostpath, '^([^/]*)', 1)) + 1)
+                 ELSE rest END AS path
+          FROM au
+        ), fo AS (
+          SELECT doc_id, scheme, host, path, (path LIKE '/%') AS rooted,
+            list_reduce(list_prepend('', string_split(path, '/')),
+              (acc, x) ->
               CASE WHEN x = '' OR x = '.' THEN acc
-                   WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+                   WHEN x = '..' THEN
+                     CASE WHEN NOT (path LIKE '/%')
+                               AND (acc = '' OR acc LIKE '%/..')
+                          THEN acc || '/..'
+                          ELSE regexp_replace(acc, '/[^/]*$', '') END
                    ELSE acc || '/' || x END) AS folded
-          FROM p
+          FROM hp
+        ), cl AS (
+          SELECT doc_id, scheme, host,
+            CASE WHEN path = '' THEN '.'
+                 WHEN rooted THEN
+                   CASE WHEN folded = '' THEN '/' ELSE folded END
+                 ELSE
+                   CASE WHEN folded = '' THEN '.'
+                        ELSE substr(folded, 2) END END AS cleaned
+          FROM fo
         )
         SELECT doc_id,
-          lower(pre || CASE WHEN rawpath = '' THEN '/.'
-                            WHEN folded = '' THEN '/'
-                            ELSE folded END) AS norm_url
-        FROM f
+          lower(CASE WHEN scheme = '' THEN 'http' ELSE scheme END
+                || '://' || host
+                || CASE WHEN host <> '' AND cleaned NOT LIKE '/%'
+                        THEN '/' ELSE '' END
+                || cleaned) AS norm_url
+        FROM cl
     """
     return {
         "doc_stats_by_lang": """

@@ -9,11 +9,11 @@ fragment stripped, full ``path.Clean`` (dot-segment resolution via a
 Catalyst ``aggregate`` fold over the path segments — no Python), lowercased
 string (normurl/normurl.go:71-122,184-186). Includes the Go quirk that a
 bare host serializes with ``/.`` (``path.Clean("") == "."``), matching the
-exact pure-Python port in go_boilerpipe_spark.normurl byte-for-byte on
-authority-form http(s) URLs (tests/test_urls_cross.py). Known residual
-divergence: opaque/scheme-colon forms without ``//`` (``mailto:x``,
-``host:8080/p``) — the port replicates Go's quirky handling, the column
-twin treats them as schemeless; out of crawl-corpus scope.
+exact pure-Python port in go_boilerpipe_spark.normurl byte-for-byte —
+authority-form http(s) URLs, schemeless hosts, AND opaque scheme-colon
+forms without ``//`` (``mailto:x``, ``host:8080/p``), which normalize as
+scheme + relative-cleaned path exactly like the port
+(tests/test_urls_cross.py pins all three families).
 """
 
 from __future__ import annotations
@@ -44,18 +44,129 @@ def clean_rooted_path(path: Column) -> Column:
     return F.when(folded == "", F.lit("/")).otherwise(folded)
 
 
+def go_path_clean(path: Column) -> Column:
+    """Full Go ``path.Clean`` as a Catalyst fold — BOTH rooted and
+    relative semantics (relative paths KEEP leading ".." runs; a pop at
+    the root of a rooted path is a no-op). ``""`` → ``"."``, like Go."""
+    rooted = path.startswith("/")
+    folded = F.aggregate(
+        F.split(path, "/"),
+        F.lit(""),
+        lambda acc, s: F.when((s == "") | (s == "."), acc)
+        .when(
+            s == "..",
+            F.when(
+                (~rooted) & ((acc == "") | acc.endswith("/..")),
+                F.concat(acc, F.lit("/..")),
+            ).otherwise(F.regexp_replace(acc, "/[^/]*$", "")),
+        )
+        .otherwise(F.concat(acc, F.lit("/"), s)),
+    )
+    return (
+        F.when(path == "", F.lit("."))
+        .when(rooted, F.when(folded == "", F.lit("/")).otherwise(folded))
+        .otherwise(
+            F.when(folded == "", F.lit(".")).otherwise(
+                F.substr(folded, F.lit(2))
+            )
+        )
+    )
+
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*?):"
+
+
 def normalize_url(url: Column) -> Column:
     """U1: normurl.Parse + String() — strip query/fragment, path.Clean,
     lowercase. Bare hosts serialize as ``host/.`` like the reference
-    (path.Clean("") == "." then the "/"-join quirk, normurl.go:184-186)."""
-    u = with_default_scheme(url)
-    u = F.regexp_replace(u, "[?#].*$", "")        # strip query + fragment
-    prefix = F.regexp_extract(u, "^([^/]*//[^/]*)", 1)  # scheme://authority
-    rawpath = F.substr(u, F.length(prefix) + F.lit(1))
-    path = F.when(rawpath == "", F.lit("/.")).otherwise(
-        clean_rooted_path(rawpath)
+    (path.Clean("") == "." then the "/"-join quirk, normurl.go:184-186).
+    Opaque scheme-colon forms (``mailto:x``, ``host:8080/p`` — first
+    colon after a valid scheme prefix, no ``//``) normalize as
+    scheme://(relative-cleaned rest) exactly like the pure port's
+    net/url-subset parser (normurl.py URL._raw_parse)."""
+    s = F.regexp_replace(url, "[?#].*$", "")       # strip query + fragment
+    scheme = F.regexp_extract(s, _SCHEME_RE, 1)    # lazy: FIRST colon
+    has_scheme = scheme != ""
+    rest = F.when(
+        has_scheme, F.substr(s, F.length(scheme) + F.lit(2))
+    ).otherwise(s)
+    authority = (~has_scheme) | rest.startswith("//")
+    hostpath = F.when(has_scheme, F.substr(rest, F.lit(3))).otherwise(rest)
+    host = F.when(
+        authority, F.regexp_extract(hostpath, "^([^/]*)", 1)
+    ).otherwise(F.lit(""))
+    path = F.when(
+        authority, F.substr(hostpath, F.length(host) + F.lit(1))
+    ).otherwise(rest)
+    cleaned = go_path_clean(path)
+    eff_scheme = F.when(has_scheme, scheme).otherwise(F.lit("http"))
+    sep = F.when(
+        (host != "") & (~cleaned.startswith("/")), F.lit("/")
+    ).otherwise(F.lit(""))
+    return F.lower(F.concat(eff_scheme, F.lit("://"), host, sep, cleaned))
+
+
+def with_normalized_url(df, url_col: str, out_col: str = "norm_url"):
+    """Staged normalize_url for corpus-scale scans: each intermediate
+    (scheme, rest, host, path, fold) lives in its own projection column,
+    so the plan carries ONE copy of each subtree instead of the
+    column-expression form's multiplicative nesting (the single-Column
+    variant compiles to a multi-MiB task binary — PLANS.md lesson 1
+    applied to strings). Semantics identical to :func:`normalize_url`."""
+    d = df.withColumn("_u_s", F.regexp_replace(F.col(url_col), "[?#].*$", ""))
+    d = d.withColumn("_u_scheme", F.regexp_extract("_u_s", _SCHEME_RE, 1))
+    d = d.withColumn(
+        "_u_rest",
+        F.when(F.col("_u_scheme") == "", F.col("_u_s")).otherwise(
+            F.substr(F.col("_u_s"), F.length("_u_scheme") + F.lit(2))
+        ),
     )
-    return F.lower(F.concat(prefix, path))
+    d = d.withColumn(
+        "_u_auth",
+        (F.col("_u_scheme") == "") | F.col("_u_rest").startswith("//"),
+    )
+    d = d.withColumn(
+        "_u_hostpath",
+        F.when(F.col("_u_scheme") == "", F.col("_u_rest")).otherwise(
+            F.substr(F.col("_u_rest"), F.lit(3))
+        ),
+    )
+    d = d.withColumn(
+        "_u_host",
+        F.when(
+            F.col("_u_auth"), F.regexp_extract("_u_hostpath", "^([^/]*)", 1)
+        ).otherwise(F.lit("")),
+    )
+    d = d.withColumn(
+        "_u_path",
+        F.when(
+            F.col("_u_auth"),
+            F.substr(F.col("_u_hostpath"), F.length("_u_host") + F.lit(1)),
+        ).otherwise(F.col("_u_rest")),
+    )
+    d = d.withColumn("_u_clean", go_path_clean(F.col("_u_path")))
+    d = d.withColumn(
+        out_col,
+        F.lower(
+            F.concat(
+                F.when(F.col("_u_scheme") == "", F.lit("http")).otherwise(
+                    F.col("_u_scheme")
+                ),
+                F.lit("://"),
+                F.col("_u_host"),
+                F.when(
+                    (F.col("_u_host") != "")
+                    & (~F.col("_u_clean").startswith("/")),
+                    F.lit("/"),
+                ).otherwise(F.lit("")),
+                F.col("_u_clean"),
+            )
+        ),
+    )
+    return d.drop(
+        "_u_s", "_u_scheme", "_u_rest", "_u_auth", "_u_hostpath",
+        "_u_host", "_u_path", "_u_clean",
+    )
 
 
 DEFAULT_QUERY_KEY_BLACKLIST = (
@@ -84,9 +195,17 @@ def strip_tracking_params(url: Column, blacklist=DEFAULT_QUERY_KEY_BLACKLIST) ->
 
 
 def url_hostname(url: Column) -> Column:
-    """U3: host without port."""
-    host = F.parse_url(with_default_scheme(url), F.lit("HOST"))
-    return F.lower(host)
+    """U3: host without port. Opaque scheme-colon forms (``mailto:x``)
+    have NO authority, so the host is empty — same as the pure port."""
+    opaque = url.rlike(_SCHEME_RE) & ~url.rlike(
+        "^[A-Za-z][A-Za-z0-9+.-]*://"
+    )
+    # regex, not parse_url: the port's hostname() is a naive colon-split
+    # of the authority (normurl/parts.go:13-21), and parse_url THROWS on
+    # malformed URLs — at crawl scale some always slip through
+    auth = F.regexp_extract(with_default_scheme(url), "^[^/]*//([^/]*)", 1)
+    host = F.regexp_extract(auth, "^([^:]*)", 1)
+    return F.when(opaque, F.lit("")).otherwise(F.lower(host))
 
 
 def url_root(url: Column) -> Column:
