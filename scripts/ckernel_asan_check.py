@@ -83,7 +83,30 @@ def main():
     ck.extract("<a " + "x=y " * 5000 + ">t</a>")
     ck.extract("<title>" + "w " * 50000 + "</title><body><p>x</p></body>")
     ck.extract("&#" + "9" * 100 + ";")
-    print("ASAN: goldens + 3000 fuzz + adversarial inputs clean")
+
+    # VERDICT r3 item 8: the SAME corpora the parity gate pins — the
+    # 400-case full-pipeline differential and the named adversarial
+    # classes — run under the sanitizer in the same session, exercising
+    # extract(), parse(), the title-override path, and filter_blocks()
+    # (raw-block rebuild + filters-only re-entry).
+    from tests.adversarial_inputs import (
+        adversarial_classes,
+        full_pipeline_fuzz_cases,
+    )
+
+    cases = full_pipeline_fuzz_cases(400)
+    for name, cls in adversarial_classes().items():
+        cases.extend(cls)
+    for s in cases:
+        ck.extract(s)
+        ck.extract(s, "Override Title")
+        # filter_blocks on EVERY case's raw blocks (parse never filters),
+        # both with and without a title override
+        title, blocks, ld_json, dts, filtered = ck.parse(s)
+        ck.filter_blocks(blocks, title)
+        ck.filter_blocks(blocks, "Override Title")
+    print(f"ASAN: goldens + 3000 fuzz + adversarial inputs + "
+          f"{len(cases)} parity-corpus cases (x2 filter_blocks each) clean")
 
 
 if __name__ == "__main__":
