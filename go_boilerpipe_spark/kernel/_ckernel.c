@@ -2841,13 +2841,100 @@ static PyObject *blocks_to_py(Handler *h)
     return lst;
 }
 
+/* Content() rendered straight from the filtered block array
+ * (boilerpipe.go:76-106 Text(true,false) + Go html.EscapeString):
+ * '\n'-join of is_content texts, strip ' '/'\n' at both ends, escape
+ * & ' < > " exactly like document.py go_escape_string. Skips the
+ * per-block Python tuples and TextBlock objects entirely — the Spark
+ * hot path only needs (content, n_blocks, n_content). */
+static PyObject *render_content(Handler *h, long *n_blocks, long *n_content)
+{
+    Py_ssize_t total = 0;
+    long nb = 0, nc = 0;
+    for (Py_ssize_t i = 0; i < h->nblocks; i++) {
+        nb++;
+        if (h->blocks[i]->is_content) {
+            if (nc)
+                total += 1; /* '\n' separator */
+            total += h->blocks[i]->text_len;
+            nc++;
+        }
+    }
+    *n_blocks = nb;
+    *n_content = nc;
+    u32 *buf = (u32 *)PyMem_Malloc((size_t)(total ? total : 1) * sizeof(u32));
+    if (!buf) {
+        PyErr_NoMemory();
+        return NULL;
+    }
+    Py_ssize_t w = 0;
+    for (Py_ssize_t i = 0; i < h->nblocks; i++) {
+        CBlock *cb = h->blocks[i];
+        if (!cb->is_content)
+            continue;
+        if (w)
+            buf[w++] = '\n';
+        memcpy(buf + w, cb->text, (size_t)cb->text_len * sizeof(u32));
+        w += cb->text_len;
+    }
+    /* Python str.strip(" \n") */
+    Py_ssize_t a = 0, b = w;
+    while (a < b && (buf[a] == ' ' || buf[a] == '\n'))
+        a++;
+    while (b > a && (buf[b - 1] == ' ' || buf[b - 1] == '\n'))
+        b--;
+    /* escape: & -> &amp; (5)  ' -> &#39; (5)  " -> &#34; (5)
+     *         < -> &lt; (4)   > -> &gt; (4) */
+    Py_ssize_t out_n = 0;
+    for (Py_ssize_t i = a; i < b; i++) {
+        switch (buf[i]) {
+        case '&': case '\'': case '"': out_n += 5; break;
+        case '<': case '>': out_n += 4; break;
+        default: out_n += 1;
+        }
+    }
+    u32 *out = (u32 *)PyMem_Malloc(
+        (size_t)(out_n ? out_n : 1) * sizeof(u32));
+    if (!out) {
+        PyMem_Free(buf);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    Py_ssize_t k = 0;
+    for (Py_ssize_t i = a; i < b; i++) {
+        u32 c = buf[i];
+        const char *rep = NULL;
+        switch (c) {
+        case '&': rep = "&amp;"; break;
+        case '\'': rep = "&#39;"; break;
+        case '"': rep = "&#34;"; break;
+        case '<': rep = "&lt;"; break;
+        case '>': rep = "&gt;"; break;
+        }
+        if (rep) {
+            for (const char *q = rep; *q; q++)
+                out[k++] = (u32)*q;
+        } else {
+            out[k++] = c;
+        }
+    }
+    PyObject *res = str_from_u32(out, k);
+    PyMem_Free(buf);
+    PyMem_Free(out);
+    return res;
+}
+
 /* shared parse driver; run_filters: 0 = raw blocks, 1 = run the Article
  * pipeline in C when there is no ld+json (the ld+json headline can
  * override the title F2 uses, so those documents return raw blocks and
  * the caller runs the Python pipeline after the merge).
- * Returns (title, blocks, ld_json, datetimes, filtered: bool). */
-static PyObject *parse_impl(PyObject *html, int run_filters,
-                            PyObject *title_override)
+ * Returns (title, blocks, ld_json, datetimes, filtered: bool); with
+ * render=1 returns the extract_content shape
+ * (title, blocks|None, content|None, n_blocks, n_content, ld_json,
+ *  datetimes, filtered) — content rendered in C when filtered, raw
+ * blocks returned for the Python ld+json merge otherwise. */
+static PyObject *parse_impl_ex(PyObject *html, int run_filters,
+                               PyObject *title_override, int render)
 {
     if (!g_ready) {
         PyErr_SetString(PyExc_RuntimeError, "init_tables() not called");
@@ -2897,7 +2984,7 @@ static PyObject *parse_impl(PyObject *html, int run_filters,
     }
 
     PyObject *result = NULL;
-    if (rc == 0) {
+    if (rc == 0 && !render) {
         PyObject *blocks = blocks_to_py(&h);
         if (blocks) {
             PyObject *title = h.title ? h.title : PyUnicode_New(0, 0);
@@ -2906,11 +2993,46 @@ static PyObject *parse_impl(PyObject *html, int run_filters,
             result = Py_BuildValue("(NNOON)", title, blocks, h.ld_json,
                                    h.datetimes, PyBool_FromLong(filtered));
         }
+    } else if (rc == 0) {
+        PyObject *blocks = NULL, *content = NULL;
+        long nb = 0, nc = 0;
+        if (filtered) {
+            content = render_content(&h, &nb, &nc);
+            if (content) {
+                blocks = Py_None;
+                Py_INCREF(Py_None);
+            }
+        } else {
+            /* ld+json doc: raw blocks for the Python merge +
+             * filter_blocks_content second pass */
+            blocks = blocks_to_py(&h);
+            if (blocks) {
+                content = Py_None;
+                Py_INCREF(Py_None);
+            }
+        }
+        if (blocks && content) {
+            PyObject *title = h.title ? h.title : PyUnicode_New(0, 0);
+            if (h.title)
+                Py_INCREF(h.title);
+            result = Py_BuildValue("(NNNllOON)", title, blocks, content,
+                                   nb, nc, h.ld_json, h.datetimes,
+                                   PyBool_FromLong(filtered));
+        } else {
+            Py_XDECREF(blocks);
+            Py_XDECREF(content);
+        }
     }
     h_free(&h);
     parser_free(&p);
     PyMem_Free(buf);
     return result;
+}
+
+static PyObject *parse_impl(PyObject *html, int run_filters,
+                            PyObject *title_override)
+{
+    return parse_impl_ex(html, run_filters, title_override, 0);
 }
 
 /* inverse of blocks_to_py: rebuild the CBlock array from the tuples a
@@ -2988,8 +3110,9 @@ static int blocks_from_py(Handler *h, PyObject *blocks)
 }
 
 /* filter_blocks(blocks, title) -> blocks: Article pipeline over
- * pre-parsed raw blocks — no tokenizer re-entry. */
-static PyObject *py_filter_blocks(PyObject *self, PyObject *args)
+ * pre-parsed raw blocks — no tokenizer re-entry. With render=1 returns
+ * (content, n_blocks, n_content) instead of the block tuples. */
+static PyObject *filter_blocks_impl(PyObject *args, int render)
 {
     PyObject *blocks, *title = NULL;
     if (!PyArg_ParseTuple(args, "O|O", &blocks, &title))
@@ -3022,10 +3145,34 @@ static PyObject *py_filter_blocks(PyObject *self, PyObject *args)
         rc = run_article_pipeline(&h, (const u32 *)tb, tn);
     PyMem_Free(tb);
     PyObject *result = NULL;
-    if (rc == 0)
+    if (rc == 0 && !render) {
         result = blocks_to_py(&h);
+    } else if (rc == 0) {
+        long nb = 0, nc = 0;
+        PyObject *content = render_content(&h, &nb, &nc);
+        if (content)
+            result = Py_BuildValue("(Nll)", content, nb, nc);
+    }
     h_free(&h);
     return result;
+}
+
+static PyObject *py_filter_blocks(PyObject *self, PyObject *args)
+{
+    return filter_blocks_impl(args, 0);
+}
+
+static PyObject *py_filter_blocks_content(PyObject *self, PyObject *args)
+{
+    return filter_blocks_impl(args, 1);
+}
+
+static PyObject *py_extract_content(PyObject *self, PyObject *args)
+{
+    PyObject *html;
+    if (!PyArg_ParseTuple(args, "U", &html))
+        return NULL;
+    return parse_impl_ex(html, 1, NULL, 1);
 }
 
 static PyObject *py_parse(PyObject *self, PyObject *args)
@@ -3081,6 +3228,13 @@ static PyMethodDef ckernel_methods[] = {
     {"filter_blocks", py_filter_blocks, METH_VARARGS,
      "filter_blocks(blocks, title) -> blocks — run the Article pipeline "
      "on pre-parsed raw blocks (ld+json title-override path; no re-parse)"},
+    {"filter_blocks_content", py_filter_blocks_content, METH_VARARGS,
+     "filter_blocks_content(blocks, title) -> (content, n_blocks, "
+     "n_content) — filter_blocks + C-side Content() rendering"},
+    {"extract_content", py_extract_content, METH_VARARGS,
+     "extract_content(html) -> (title, blocks|None, content|None, "
+     "n_blocks, n_content, ld_json, datetimes, filtered) — Spark hot "
+     "path: full pipeline + C-side Content() rendering, no block tuples"},
     {"extract", py_extract, METH_VARARGS,
      "extract(html) -> (title, blocks, ld_json, datetimes, filtered) — "
      "runs the Article pipeline in C when no ld+json is present"},

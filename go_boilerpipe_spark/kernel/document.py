@@ -208,6 +208,50 @@ def extract_article(html) -> Document:
     return doc
 
 
+def extract_content(html):
+    """Spark hot-path extraction: returns
+    ``(title, author, date, content, n_blocks, n_content)`` without
+    materializing TextBlock objects — the C kernel renders Content()
+    (Text(true,false) + Go EscapeString, boilerpipe.go:76-106) straight
+    from its block array. Byte-identical to
+    ``extract_article(html)`` + ``.content()`` (parity-gated by
+    tests/test_ckernel_parity.py and the 12k corpus differential)."""
+    if _CK is None:
+        doc = extract_article(html)
+        return (
+            doc.title, doc.author, doc.date, doc.content(),
+            len(doc.text_blocks),
+            sum(1 for tb in doc.text_blocks if tb.is_content),
+        )
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="surrogateescape")
+    (title, blocks, content, n_blocks, n_content,
+     ld_json, datetimes, filtered) = _CK.extract_content(html)
+    h_time = None
+    for v in datetimes:
+        t = parse_rfc3339(v)
+        if t is not None:
+            h_time = t
+    if not ld_json:  # common case: no ld+json, everything came from C
+        return title, "", h_time, content, n_blocks, n_content
+    art = LinkedDataArticle()
+    for s in ld_json:
+        ok = merge_linked_data(art, s)
+        if not ok:
+            continue
+        if art.type == "Article":
+            break
+    final_title = art.headline if art.headline else title
+    if not filtered:
+        content, n_blocks, n_content = _CK.filter_blocks_content(
+            blocks, final_title
+        )
+    date = art.date_published if art.date_published is not None else h_time
+    if art.body:
+        content = art.body
+    return final_title, art.author_name, date, content, n_blocks, n_content
+
+
 def extract_debug(html):
     """LoggingPipeline analog (cmd/boilerpipe/serve.go:172-204): returns the
     document plus per-filter snapshots of (n_blocks, is_content flags) for

@@ -23,7 +23,7 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from ..kernel.document import extract_article
+from ..kernel.document import extract_content
 
 # Sink schema — FIXTURES.md §4.
 OUTPUT_SCHEMA_DDL = (
@@ -100,14 +100,13 @@ def extract_record_batches(
             else:
                 try:
                     html_str, clean = _decode_html(html)
-                    doc = extract_article(html_str)
-                    title = doc.title
-                    author = doc.author
-                    if doc.date is not None:
-                        date = doc.date
-                    content = doc.content()
-                    n_blocks = len(doc.text_blocks)
-                    n_content = sum(1 for tb in doc.text_blocks if tb.is_content)
+                    # hot path: C renders Content() directly; no
+                    # TextBlock materialization (parity-gated twin of
+                    # extract_article + .content())
+                    (title, author, d, content,
+                     n_blocks, n_content) = extract_content(html_str)
+                    if d is not None:
+                        date = d
                     if not clean:
                         # invalid-UTF-8 page: make every output string a valid
                         # UTF-8 string before it reaches pa.array()

@@ -100,11 +100,13 @@ def main():
     for s in cases:
         ck.extract(s)
         ck.extract(s, "Override Title")
+        ck.extract_content(s)
         # filter_blocks on EVERY case's raw blocks (parse never filters),
-        # both with and without a title override
+        # both with and without a title override, both output shapes
         title, blocks, ld_json, dts, filtered = ck.parse(s)
         ck.filter_blocks(blocks, title)
         ck.filter_blocks(blocks, "Override Title")
+        ck.filter_blocks_content(blocks, title)
     print(f"ASAN: goldens + 3000 fuzz + adversarial inputs + "
           f"{len(cases)} parity-corpus cases (x2 filter_blocks each) clean")
 

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, %(repo)r)
 t = pq.read_table(%(corpus)r, columns=["url", "html"])
 htmls = t.column("html").to_pylist()[: %(max_docs)d]
-from go_boilerpipe_spark.kernel.document import extract_article, _CK
+from go_boilerpipe_spark.kernel.document import extract_content, _CK
 mode = "pure" if _CK is None else "c"
 out = []
 t0 = time.monotonic()
@@ -35,11 +35,13 @@ for h in htmls:
         continue
     s = bytes(h).decode("utf-8", "surrogateescape")
     try:
-        d = extract_article(s)
-        out.append((d.title, d.author,
-                    d.date.isoformat() if d.date else None, d.content(),
-                    len(d.text_blocks),
-                    sum(1 for tb in d.text_blocks if tb.is_content)))
+        # extract_content IS the Spark hot-path entry: C-side pipeline +
+        # Content() rendering when _CK is loaded, the pure
+        # extract_article tail otherwise -- so this differential gates
+        # exactly what the job executes on both kernels
+        title, author, date, content, nb, nc = extract_content(s)
+        out.append((title, author,
+                    date.isoformat() if date else None, content, nb, nc))
     except Exception as e:
         out.append(("ERR", repr(e)))
 dt = time.monotonic() - t0

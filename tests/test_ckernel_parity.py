@@ -334,6 +334,33 @@ def _adversarial_params():
     ]
 
 
+def _pure_content_tuple(html):
+    d = _pure_extract(html)
+    return (d.title, d.author, d.date, d.content(), len(d.text_blocks),
+            sum(1 for tb in d.text_blocks if tb.is_content))
+
+
+def test_extract_content_identical():
+    # the Spark hot-path entry (C-side Content() rendering, no TextBlock
+    # materialization) must equal extract_article + .content() on every
+    # golden, quirk, title-quirk (incl. ld+json override), fuzz, and
+    # adversarial case
+    from tests.adversarial_inputs import (
+        adversarial_classes,
+        full_pipeline_fuzz_cases,
+    )
+
+    from go_boilerpipe_spark.kernel.document import extract_content
+
+    docs = [open(f"/root/reference/testdata/{i}.html", "rb").read().decode(
+        "utf-8", "surrogateescape") for i in range(7)]
+    cases = docs + QUIRKS + TITLE_QUIRKS + full_pipeline_fuzz_cases(400)
+    for cls in adversarial_classes().values():
+        cases.extend(cls)
+    for html in cases:
+        assert extract_content(html) == _pure_content_tuple(html), html[:80]
+
+
 @pytest.mark.parametrize("html", _adversarial_params())
 def test_adversarial_classes_identical(html):
     # VERDICT r3 item 8: attribute bombs, deep nesting, long
