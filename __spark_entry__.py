@@ -1176,6 +1176,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "url_keep_query": """
+            -- twin of strip_tracking_params on decode/encode-identity
+            -- inputs (DuckDB lacks url_decode/url_encode; the full
+            -- codec parity is pinned against the pure port in
+            -- tests/test_urls_cross.py::test_keep_query_matches_pure_encode).
+            -- Sort mirrors the Spark struct-sort: by KEY, not raw pair.
             WITH u AS (
               SELECT doc_id,
                 'https://h.com/p?utm_source=news&q=' || doc_id ||
@@ -1184,17 +1189,21 @@ def oracle_sql() -> dict[str, str]:
             ), parts AS (
               SELECT doc_id,
                 regexp_replace(url, '[?#].*$', '') AS base,
-                list_sort([p FOR p IN
-                  string_split(regexp_replace(
+                list_sort([{'k': regexp_extract(p, '^([^=]*)', 1),
+                            'p': regexp_extract(p, '^([^=]*)', 1) || '=' ||
+                                 regexp_replace(p, '^[^=]*=?', '')}
+                  FOR p IN string_split(regexp_replace(
                     regexp_replace(url, '#.*$', ''), '^[^?]*\\?', ''), '&')
                   IF p != '' AND NOT list_contains(
                     ['email_subscriber','utm_campaign','utm_medium',
-                     'utm_source'], string_split(p, '=')[1])]) AS kept
+                     'utm_source'], regexp_extract(p, '^([^=]*)', 1))])
+                  AS kept
               FROM u
             )
             SELECT doc_id,
               CASE WHEN len(kept) = 0 THEN base
-                   ELSE base || '?' || array_to_string(kept, '&') END
+                   ELSE base || '?' ||
+                        array_to_string([t.p FOR t IN kept], '&') END
                 AS kept_url
             FROM parts
         """,

@@ -174,24 +174,55 @@ DEFAULT_QUERY_KEY_BLACKLIST = (
 )
 
 
+def _quote_plus(c: Column) -> Column:
+    """Go url.QueryEscape / Python quote_plus via Java URLEncoder plus
+    the two alphabet fix-ups (Java leaves ``*`` raw and escapes ``~``;
+    Go/Python do the opposite). Both replaces are safe on the encoded
+    string: a literal ``*`` survives only from a raw asterisk, and
+    ``%7E`` only from ``~`` (a source ``%`` became ``%25``)."""
+    return F.replace(
+        F.replace(F.url_encode(c), F.lit("*"), F.lit("%2A")),
+        F.lit("%7E"), F.lit("~"),
+    )
+
+
 def strip_tracking_params(url: Column, blacklist=DEFAULT_QUERY_KEY_BLACKLIST) -> Column:
-    """U1 with KeepQuery=true: drop blacklisted query keys
-    (normurl/normurl.go:60-65,86-92), keep the rest sorted by key
-    (url.Values.Encode() sorts). Fragment is stripped like the default
-    path. Pure Catalyst: split → filter → sort → re-join."""
+    """U1 with KeepQuery=true: url.Values round-trip minus blacklisted
+    keys (normurl/normurl.go:60-65,86-92) — DECODE each pair
+    (x-www-form-urlencoded), drop blacklisted decoded keys, re-encode
+    with Go QueryEscape alphabet, keys sorted with insertion order
+    preserved per key (url.Values.Encode()). Fragment stripped like the
+    default path. Pure Catalyst: split → decode → filter → stable
+    struct-sort → encode → re-join. Known divergence (documented): a
+    value mixing valid and invalid %-escapes is kept raw wholesale
+    (try_url_decode is all-or-nothing) where Python's unquote_plus
+    decodes the valid ones; wholly-invalid escapes agree byte-for-byte."""
     base = F.regexp_replace(url, "[?#].*$", "")
     frag_stripped = F.regexp_replace(url, "#.*$", "")
     qs = F.when(
         frag_stripped.contains("?"),
         F.regexp_replace(frag_stripped, "^[^?]*\\?", ""),
     ).otherwise(F.lit(""))
-    pairs = F.filter(
-        F.split(qs, "&"),
-        lambda p: (p != "")
-        & ~F.split(p, "=")[0].isin(*blacklist),
+    raw = F.filter(F.split(qs, "&"), lambda p: p != "")
+    dec = lambda c: F.coalesce(F.try_url_decode(c), c)  # noqa: E731
+    trips = F.transform(
+        raw,
+        lambda p, i: F.struct(
+            dec(F.regexp_extract(p, "^([^=]*)", 1)).alias("k"),
+            i.alias("i"),  # (k, i, v): stable by key, Go Values.Encode
+            dec(F.regexp_replace(p, "^[^=]*=?", "")).alias("v"),
+        ),
     )
-    kept = F.array_join(F.array_sort(pairs), "&")
-    return F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))
+    kept = F.filter(trips, lambda t: ~t["k"].isin(*blacklist))
+    enc = F.transform(
+        F.array_sort(kept),
+        lambda t: F.concat(_quote_plus(t["k"]), F.lit("="),
+                           _quote_plus(t["v"])),
+    )
+    kept_s = F.array_join(enc, "&")
+    return F.when(kept_s == "", base).otherwise(
+        F.concat(base, F.lit("?"), kept_s)
+    )
 
 
 def url_hostname(url: Column) -> Column:

@@ -84,6 +84,39 @@ def test_staged_normalize_matches_column_form(spark):
     assert staged == col_form
 
 
+QUERY_CASES = [
+    # (query string appended after '?') — compared against the pure
+    # port's _encode_query (url.Values round-trip, Go QueryEscape)
+    "utm_source=news&q=7&utm_medium=email&zz=2",
+    "a=b c&b=d+e",                  # space/plus decode -> '+' re-encode
+    "b=%41%7E*&a=*star*",           # %-escapes, tilde, asterisk alphabet
+    "k=v=w&novalue&empty=",         # first-'=' split, blank values kept
+    "dup=2&dup=1&a=9",              # multi-valued key: insertion order
+    "a%5Fb=1&utm%5Fsource=x",       # DECODED key hits the blacklist
+    "zz=top&a=%2F%3D%26",           # encoded separators stay encoded
+    "bad=%zz&ok=1",                 # wholly-invalid escape kept raw
+    "",                             # empty query -> no '?'
+    "utm_campaign=x&utm_medium=y",  # everything stripped -> no '?'
+]
+
+
+def test_keep_query_matches_pure_encode(spark):
+    from go_boilerpipe_spark.normurl import _encode_query
+
+    urls_in = [f"https://H.example/P?{q}#frag" for q in QUERY_CASES]
+    df = spark.createDataFrame([(u,) for u in urls_in], "url string")
+    got = {
+        r["url"]: r["kept"]
+        for r in df.select(
+            "url", urls.strip_tracking_params(F.col("url")).alias("kept")
+        ).collect()
+    }
+    for q, u in zip(QUERY_CASES, urls_in):
+        enc = _encode_query(q)
+        expect = "https://H.example/P" + (f"?{enc}" if enc else "")
+        assert got[u] == expect, (q, got[u], expect)
+
+
 def test_root_and_date_match_pure_port(spark):
     df = spark.createDataFrame([(u,) for u in CASES], "url string")
     rows = df.select(
