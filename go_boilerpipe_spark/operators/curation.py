@@ -156,12 +156,16 @@ def segment_dedup(
     pass does not re-evaluate the token split per element (O(n²) trap)."""
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    staged_toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_seg = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"), F.lit(1)
     )
     idx = F.sequence(F.lit(0), n_seg - 1)
-    staged = docs.select(
+    staged = staged_toks.select(
         F.col(id_col),
         F.transform(
             idx,
@@ -241,10 +245,18 @@ def repetition_stats(
 
     One explode + one shuffle on (doc, bigram) — uniform keys; ratios are
     divisions of exact BIGINTs so the oracle hash-matches."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    # token array staged in its OWN projection: the bigram transform
+    # references it once per bigram, and an inline split() subtree would
+    # re-tokenize the full text per element (O(n²) in doc length — the
+    # PLANS.md lesson-1 trap; this cost repetition_stats ~2x at sf0.1)
+    staged_toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), "\\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_bg = F.greatest(F.size(toks) - 1, F.lit(1))
     idx = F.sequence(F.lit(1), n_bg)
-    staged = docs.select(
+    staged = staged_toks.select(
         F.col(id_col),
         F.transform(
             idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")

@@ -326,7 +326,14 @@ def winnow_fingerprint(
     hashes, keep the minimum of each sliding window, fingerprint = md5 of
     the sorted distinct minima. Stable under small local edits; one
     map-side pass, no shuffle."""
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    # token array staged first: the shingle-hash transform slices it once
+    # per shingle, and an inline split() would re-tokenize the text per
+    # element (O(n²) — same trap as the hash array below)
+    staged_toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     cnt = F.size(toks)
     n_sh = F.greatest(cnt - shingle_n + 1, F.lit(1))
     sh_idx = F.sequence(F.lit(0), n_sh - 1)
@@ -336,7 +343,7 @@ def winnow_fingerprint(
     # materialize the hash array in its own projection: the window-min pass
     # references it O(n) times, and inlining it there would re-evaluate all
     # shingle md5s per window (O(n²) blowup)
-    staged = df.select(
+    staged = staged_toks.select(
         F.col(id_col), F.transform(sh_idx, shingle_hash).alias("_hs")
     )
     hashes = F.col("_hs")
