@@ -215,6 +215,19 @@ def main():
                     (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4.0,
                     round(excess, 2))
 
+        # drain the saturation phase's loadavg before the first timed
+        # pair: the 1-min EMA needs ~1-2 time constants to decay from
+        # the 32-core run, and a pair started hot reads as false
+        # super-/sub-linear (run-1 r4: first pair load_before 35.4,
+        # eff 1.03). Gate: wait until loadavg is near the pair's own
+        # core budget, capped so a genuinely busy box still proceeds.
+        drain_deadline = time.time() + float(
+            os.environ.get("SPARK_GRAFT_SETTLE_MAX", "120")
+        )
+        while (os.getloadavg()[0] > 8 + load_excess
+               and time.time() < drain_deadline):
+            time.sleep(5)
+
         pairs, reruns = [], 0
         for p in range(n_pairs):
             pair = run_pair(p)
