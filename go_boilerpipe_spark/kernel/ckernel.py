@@ -121,8 +121,12 @@ def build_so(verbose: bool = False) -> str | None:
         return out
     include = sysconfig.get_path("include")
     tmp = out + f".{os.getpid()}.tmp"
+    # -O3: ~17% faster than -O2 on the 12k corpus (interleaved medians,
+    # both orders), bit-identical output (integer/string kernel, no FP).
+    # No -march=native: the .so ships to heterogeneous executors via
+    # --py-files.
     cmd = [
-        "gcc", "-O2", "-fPIC", "-shared", "-std=c99",
+        "gcc", "-O3", "-fPIC", "-shared", "-std=c99",
         "-I", include, _SRC, "-o", tmp,
     ]
     try:
