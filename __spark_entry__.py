@@ -317,9 +317,16 @@ def _q_url_dates(spark, sf):
         F.lit("/page"),
     )
     # string output: date-type pandas representations differ across
-    # engines (datetime64 vs date objects); ISO strings compare exactly
-    return d.select(
-        "doc_id", urls.url_date(u).cast("string").alias("url_date")
+    # engines (datetime64 vs date objects); ISO strings compare exactly.
+    # Staged: url_date searches the NORMALIZED string (reference
+    # semantics); derive it once and pass pre_normalized=True.
+    staged = urls.with_normalized_url(
+        d.select("doc_id", u.alias("_raw")), "_raw"
+    )
+    return staged.select(
+        "doc_id",
+        urls.url_date(F.col("norm_url"), pre_normalized=True)
+        .cast("string").alias("url_date"),
     )
 
 

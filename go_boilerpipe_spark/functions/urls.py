@@ -247,10 +247,28 @@ def url_root(url: Column) -> Column:
     return F.when(n_dots >= 2, F.substring_index(host, ".", -2)).otherwise(host)
 
 
-def url_date(url: Column) -> Column:
+def url_date(url: Column, pre_normalized: bool = False) -> Column:
     """U2: path-date extraction — 3 ordered regexes (normurl.go:229-246),
-    first match wins. Returns DateType (UTC midnight in the reference)."""
-    s = F.lower(url)
+    first matching PATTERN wins (an invalid month name falls through to
+    the next pattern; a matched pattern does NOT fall through on a
+    failed date). Returns DateType (UTC midnight in the reference).
+
+    Searches the NORMALIZED url string like the reference (URL.Date()
+    runs on u.String(), so dates inside a query string or introduced by
+    dot-segment collapse behave identically). Pass ``pre_normalized=
+    True`` when the column already carries :func:`normalize_url` /
+    :func:`with_normalized_url` output — the inline normalization
+    subtree is referenced by every regex, so staging it first keeps the
+    plan small. Out-of-range components normalize like Go ``time.Date``
+    (month 13 → January next year, day overflow rolls the month)."""
+    s = url if pre_normalized else normalize_url(url)
+
+    def go_date(y, m, d):
+        # Go time.Date component normalization: anchor at Jan 1, then
+        # add months and days (add_months/date_add both roll over)
+        return F.date_add(
+            F.add_months(F.make_date(y, F.lit(1), F.lit(1)), m - 1), d - 1
+        )
     # /yyyy/mon/dd (e.g. /2017/apr/20)
     y1 = F.regexp_extract(s, r"/(\d{4})/([a-z]{3})/(\d{2})", 1)
     m1 = F.regexp_extract(s, r"/(\d{4})/([a-z]{3})/(\d{2})", 2)
@@ -261,25 +279,27 @@ def url_date(url: Column) -> Column:
                    "jul", "aug", "sep", "oct", "nov", "dec")]),
         F.array(*[F.lit(i + 1) for i in range(12)]),
     )
-    date1 = F.when(
-        (y1 != "") & F.map_contains_key(month_map, m1),
-        F.make_date(y1.cast("int"), F.element_at(month_map, m1),
-                    d1.cast("int")),
+    match1 = (y1 != "") & F.map_contains_key(month_map, m1)
+    date1 = go_date(
+        y1.cast("int"), F.element_at(month_map, m1), d1.cast("int")
     )
     # /yyyy-mm-dd
     y2 = F.regexp_extract(s, r"/(\d{4})-(\d{2})-(\d{2})", 1)
     m2 = F.regexp_extract(s, r"/(\d{4})-(\d{2})-(\d{2})", 2)
     d2 = F.regexp_extract(s, r"/(\d{4})-(\d{2})-(\d{2})", 3)
-    date2 = F.when(
-        y2 != "", F.make_date(y2.cast("int"), m2.cast("int"), d2.cast("int"))
-    )
+    date2 = go_date(y2.cast("int"), m2.cast("int"), d2.cast("int"))
     # /yyyy-mm
     y3 = F.regexp_extract(s, r"/(\d{4})-(\d{2})", 1)
     m3 = F.regexp_extract(s, r"/(\d{4})-(\d{2})", 2)
-    date3 = F.when(
-        y3 != "", F.make_date(y3.cast("int"), m3.cast("int"), F.lit(1))
+    date3 = go_date(y3.cast("int"), m3.cast("int"), F.lit(1))
+    # when-chain on the MATCH, not coalesce on the value: a matched
+    # pattern whose date overflows must yield NULL, not try the next
+    # pattern (URL.Date returns the _go_time_date result unconditionally)
+    return (
+        F.when(match1, date1)
+        .when(y2 != "", date2)
+        .when(y3 != "", date3)
     )
-    return F.coalesce(date1, date2, date3)
 
 
 def url_is_child(root: Column, ref: Column) -> Column:

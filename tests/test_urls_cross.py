@@ -47,6 +47,16 @@ CASES = [
     "mailto:",                # empty opaque path -> "."
     "http://",                # empty authority -> "http://."
     "6:x",                    # digit scheme prefix is NOT a scheme
+    # url_date normalized-string semantics: a date visible only in the
+    # query must NOT match (the reference searches u.String(), which
+    # strips the query); one introduced by dot-segment collapse MUST
+    "http://h.com/page?d=/2016/nov/16",
+    "http://h.com/a/../2016/nov/16/x",
+    "http://h.com/x/./2016-12-15-title",
+    "http://h.com/2017/xyz/20/2016-05-03",  # bad month -> next pattern
+    "http://h.com/2017/apr/40/",            # day overflow -> Go-normalized
+    "http://h.com/2016-13-05",              # month 13 -> Jan next year
+    "http://h.com/2016-00",                 # month 0 -> Dec prior year
 ]
 
 
