@@ -302,13 +302,40 @@ def url_date(url: Column, pre_normalized: bool = False) -> Column:
     )
 
 
+def _case_preserving_parts(u: Column) -> tuple[Column, Column]:
+    """(root-domain, cleaned path) with ORIGINAL case — is_child compares
+    both case-sensitively (normurl.go:144-154 runs on u.Root()/u.Path
+    before String()'s lowercasing)."""
+    s = F.regexp_replace(u, "[?#].*$", "")
+    scheme = F.regexp_extract(s, _SCHEME_RE, 1)
+    has = scheme != ""
+    rest = F.when(has, F.substr(s, F.length(scheme) + F.lit(2))).otherwise(s)
+    auth = (~has) | rest.startswith("//")
+    hostpath = F.when(has, F.substr(rest, F.lit(3))).otherwise(rest)
+    host = F.when(
+        auth, F.regexp_extract(hostpath, "^([^/]*)", 1)
+    ).otherwise(F.lit(""))
+    path = F.when(
+        auth, F.substr(hostpath, F.length(host) + F.lit(1))
+    ).otherwise(rest)
+    hostname = F.regexp_extract(host, "^([^:]*)", 1)
+    n_dots = F.length(hostname) - F.length(
+        F.regexp_replace(hostname, "\\.", "")
+    )
+    root_dom = F.when(
+        n_dots >= 2, F.substring_index(hostname, ".", -2)
+    ).otherwise(hostname)
+    return root_dom, go_path_clean(path)
+
+
 def url_is_child(root: Column, ref: Column) -> Column:
-    """U4: same root domain + path prefix + not equal (normurl.go:144-154)."""
-    root_n, ref_n = normalize_url(root), normalize_url(ref)
-    root_path = F.parse_url(with_default_scheme(root), F.lit("PATH"))
-    ref_path = F.parse_url(with_default_scheme(ref), F.lit("PATH"))
+    """U4: same root domain + CLEANED-path prefix + normalized-string
+    inequality (normurl.go:144-154). Root and path compare with
+    original case like the port (String()'s lowercase happens after)."""
+    root_dom_a, path_a = _case_preserving_parts(root)
+    root_dom_b, path_b = _case_preserving_parts(ref)
     return (
-        (url_root(root) == url_root(ref))
-        & ref_path.startswith(root_path)
-        & (root_n != ref_n)
+        (root_dom_a == root_dom_b)
+        & path_b.startswith(path_a)
+        & (normalize_url(root) != normalize_url(ref))
     )

@@ -110,6 +110,34 @@ QUERY_CASES = [
 ]
 
 
+def test_is_child_matches_pure_port(spark):
+    # all ordered pairs from a small family: same-root children, case
+    # mismatches (is_child is CASE-SENSITIVE pre-String()), dot-segment
+    # paths that only prefix-match after cleaning, different roots
+    fam = [
+        "http://a.example.com/sec",
+        "http://a.example.com/sec/page",
+        "http://b.example.com/sec/page",     # same root, other subdomain
+        "http://A.Example.com/sec",          # case difference
+        "http://a.example.com/x/../sec/sub", # cleans to /sec/sub
+        "http://other.org/sec",
+        "a.example.com/sec/deep/leaf",       # schemeless
+        "http://a.example.com/sec?q=1#f",    # query/fragment stripped
+    ]
+    pairs = [(r, c) for r in fam for c in fam]
+    df = spark.createDataFrame(pairs, "root string, ref string")
+    got = {
+        (r["root"], r["ref"]): r["child"]
+        for r in df.select(
+            "root", "ref",
+            urls.url_is_child(F.col("root"), F.col("ref")).alias("child"),
+        ).collect()
+    }
+    for r, c in pairs:
+        expect = normurl.is_child(normurl.parse(r), normurl.parse(c))
+        assert got[(r, c)] == expect, (r, c, got[(r, c)], expect)
+
+
 def test_keep_query_matches_pure_encode(spark):
     from go_boilerpipe_spark.normurl import _encode_query
 
