@@ -228,13 +228,17 @@ def strip_tracking_params(url: Column, blacklist=DEFAULT_QUERY_KEY_BLACKLIST) ->
 def url_hostname(url: Column) -> Column:
     """U3: host without port. Opaque scheme-colon forms (``mailto:x``)
     have NO authority, so the host is empty — same as the pure port."""
-    opaque = url.rlike(_SCHEME_RE) & ~url.rlike(
+    # query/fragment are stripped BEFORE host extraction (the port's
+    # _raw_parse order) — "host?q=1" has host "host", not "host?q=1",
+    # and "?utm=x" has NO host at all
+    s = F.regexp_replace(url, "[?#].*$", "")
+    opaque = s.rlike(_SCHEME_RE) & ~s.rlike(
         "^[A-Za-z][A-Za-z0-9+.-]*://"
     )
     # regex, not parse_url: the port's hostname() is a naive colon-split
     # of the authority (normurl/parts.go:13-21), and parse_url THROWS on
     # malformed URLs — at crawl scale some always slip through
-    auth = F.regexp_extract(with_default_scheme(url), "^[^/]*//([^/]*)", 1)
+    auth = F.regexp_extract(with_default_scheme(s), "^[^/]*//([^/]*)", 1)
     host = F.regexp_extract(auth, "^([^:]*)", 1)
     return F.when(opaque, F.lit("")).otherwise(F.lower(host))
 

@@ -170,3 +170,62 @@ def test_root_and_date_match_pure_port(spark):
         if isinstance(got, datetime.datetime):
             got = got.date()
         assert got == expect, r["url"]
+
+
+def _fuzz_urls(n=300, seed=20260817):
+    """Seeded component-soup URLs: schemes (with and without //), hosts
+    with case/ports/few labels, paths dense in dot-segments and date
+    shapes, queries with tracking keys and %-escapes, fragments."""
+    import random
+
+    rng = random.Random(seed)
+    schemes = ["http://", "https://", "HTTP://", "ftp://", "mailto:",
+               "scheme:", "a.b:", ""]
+    hosts = ["example.com", "WWW.Example.COM", "a.b.c.example.org",
+             "host", "h.com:8080", "6h", ""]
+    segs = ["a", "B", "..", ".", "2016", "nov", "16", "2016-12-15",
+            "2017-01", "x" * 25, "%41", "se g", ""]
+    queries = ["", "?utm_source=x", "?q=1&utm_medium=m&z=2",
+               "?d=/2016/nov/16", "?a=%41&b=c"]
+    frags = ["", "#f", "#/2017-05"]
+    out = []
+    for _ in range(n):
+        path = "/".join(rng.choice(segs) for _ in range(rng.randint(0, 6)))
+        u = (rng.choice(schemes) + rng.choice(hosts)
+             + ("/" + path if path or rng.random() < 0.3 else "")
+             + rng.choice(queries) + rng.choice(frags))
+        if u:
+            out.append(u)
+    return sorted(set(out))
+
+
+def test_fuzz_differential_vs_pure_port(spark):
+    # one Spark job over 300 seeded component-soup URLs, all twins at
+    # once vs the exact pure port: normalize (bytewise), root
+    # (lowercased), date (Go rollover), is_child(u, u+'/child')
+    cases = _fuzz_urls()
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    rows = df.select(
+        "url",
+        urls.normalize_url(F.col("url")).alias("norm"),
+        urls.url_root(F.col("url")).alias("root"),
+        urls.url_date(F.col("url")).alias("d"),
+        urls.url_is_child(
+            F.col("url"), F.concat(F.col("url"), F.lit("/child"))
+        ).alias("child"),
+    ).collect()
+    bad = []
+    for r in rows:
+        p = normurl.parse(r["url"])
+        got_d = r["d"]
+        if isinstance(got_d, datetime.datetime):
+            got_d = got_d.date()
+        expect_child = normurl.is_child(
+            p, normurl.parse(r["url"] + "/child")
+        )
+        if (r["norm"] != str(p) or r["root"] != p.root().lower()
+                or got_d != p.date() or r["child"] != expect_child):
+            bad.append((r["url"], r["norm"], str(p), r["root"],
+                        p.root().lower(), got_d, p.date(),
+                        r["child"], expect_child))
+    assert not bad, bad[:5]
