@@ -124,6 +124,28 @@ class TestExtractOperator:
         _, c_ok, e_ok = rows["http://x.test/ok"]
         assert e_ok is None and "plain ok page" in c_ok
 
+    def test_adversarial_docs_through_operator(self, spark):
+        # the named adversarial classes (attribute bombs, deep nesting,
+        # long entities/tokens, lone-surrogate-dense) must flow through
+        # the mapInArrow operator end-to-end: one row per doc, zero
+        # parse_error, every output string valid UTF-8 for Arrow
+        from tests.adversarial_inputs import adversarial_classes
+
+        docs = [d for cls in adversarial_classes().values() for d in cls]
+        rows = [
+            (f"http://adv.test/{i}", d.encode("utf-8", "surrogateescape"))
+            for i, d in enumerate(docs)
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = extract_articles(df, repartition=False).collect()
+        assert len(out) == len(docs)
+        errs = [r for r in out if r["parse_error"] is not None]
+        assert not errs, errs[:3]
+        for r in out:
+            for col in ("title", "content"):
+                if r[col] is not None:
+                    r[col].encode("utf-8")
+
     def test_null_html_yields_error_row(self, spark):
         pages = synthesize_pages(spark, 14, null_html_every=2, partitions=2)
         out = extract_articles(pages, repartition=False)
