@@ -61,7 +61,15 @@ def full_pipeline_fuzz_cases(n: int = 400, seed: int = FULL_PIPELINE_FUZZ_SEED):
     tags = ["<p>", "</p>", "<div>", "</div>", "<a href=u>", "</a>", "<h1>",
             "</h1>", "<li>", "</li>", "<ul>", "</ul>", "<body>", "</body>",
             "<title>", "</title>", "<br>", " | ", " - ", " » ", ".com",
-            "Comments", "add comment", "\x08", "\xa0", "'", "?", "!", "."]
+            "Comments", "add comment", "\x08", "\xa0", "'", "?", "!", ".",
+            # ld+json pieces: drive the merged-headline override path
+            # (filter_blocks / filter_blocks_content) through the fuzz,
+            # including broken JSON and an empty headline
+            '<script type="application/ld+json">'
+            '{"@type":"Article","headline":"Fuzz Headline"}</script>',
+            '<script type="application/ld+json">{broken</script>',
+            '<script type="application/ld+json">'
+            '{"@type":"NewsArticle","headline":""}</script>']
     out = []
     for _ in range(n):
         parts = []
