@@ -203,6 +203,10 @@ def test_fuzz_differential_vs_pure_port(spark):
     # one Spark job over 300 seeded component-soup URLs, all twins at
     # once vs the exact pure port: normalize (bytewise), root
     # (lowercased), date (Go rollover), is_child(u, u+'/child')
+    import re as _re
+
+    from go_boilerpipe_spark.normurl import _encode_query
+
     cases = _fuzz_urls()
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     rows = df.select(
@@ -213,6 +217,7 @@ def test_fuzz_differential_vs_pure_port(spark):
         urls.url_is_child(
             F.col("url"), F.concat(F.col("url"), F.lit("/child"))
         ).alias("child"),
+        urls.strip_tracking_params(F.col("url")).alias("kept"),
     ).collect()
     bad = []
     for r in rows:
@@ -223,9 +228,16 @@ def test_fuzz_differential_vs_pure_port(spark):
         expect_child = normurl.is_child(
             p, normurl.parse(r["url"] + "/child")
         )
+        base = _re.sub(r"[?#].*$", "", r["url"])
+        frag_stripped = _re.sub(r"#.*$", "", r["url"])
+        q = frag_stripped.split("?", 1)[1] if "?" in frag_stripped else ""
+        enc = _encode_query(q)
+        expect_kept = base + (f"?{enc}" if enc else "")
         if (r["norm"] != str(p) or r["root"] != p.root().lower()
-                or got_d != p.date() or r["child"] != expect_child):
+                or got_d != p.date() or r["child"] != expect_child
+                or r["kept"] != expect_kept):
             bad.append((r["url"], r["norm"], str(p), r["root"],
                         p.root().lower(), got_d, p.date(),
-                        r["child"], expect_child))
+                        r["child"], expect_child,
+                        r["kept"], expect_kept))
     assert not bad, bad[:5]
