@@ -98,19 +98,22 @@ def _url_col():
 
 # Adversarial URL shapes for the url_normalize oracle (VERDICT r1 item 7):
 # bare host (the "/." path.Clean quirk), dup slashes + trailing slash +
-# query/fragment, dot-segments, schemeless + ".."-resolution, and (r3
-# item 5) opaque scheme-colon forms without "//" — relative-path clean
-# that KEEPS leading "..".
+# query/fragment, dot-segments, schemeless + ".."-resolution, opaque
+# scheme-colon forms without "//" (r3 item 5) — relative-path clean that
+# KEEPS leading ".." — and (ADVICE r4) protocol-relative "//host/path"
+# forms whose leading "//" marks the authority even without a scheme.
 _URL_ADV_EXPR_SQL = (
-    "CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.' || upper(source) || '.COM' "
-    "WHEN doc_id % 6 = 1 THEN 'HTTP://WWW.' || upper(source) || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.' || upper(source) || '.COM' "
+    "WHEN doc_id % 7 = 1 THEN 'HTTP://WWW.' || upper(source) || "
     "'.COM/A//B/' || doc_id || '/?utm_source=x&y=1#frag' "
-    "WHEN doc_id % 6 = 2 THEN 'HTTPS://WWW.' || upper(source) || "
+    "WHEN doc_id % 7 = 2 THEN 'HTTPS://WWW.' || upper(source) || "
     "'.COM/A/../B/./' || doc_id || '/' "
-    "WHEN doc_id % 6 = 3 THEN 'WWW.' || upper(source) || '.COM/X/' || "
+    "WHEN doc_id % 7 = 3 THEN 'WWW.' || upper(source) || '.COM/X/' || "
     "doc_id || '/../' || doc_id || '#frag' "
-    "WHEN doc_id % 6 = 4 THEN 'MAILTO:U' || doc_id || '@' || "
+    "WHEN doc_id % 7 = 4 THEN 'MAILTO:U' || doc_id || '@' || "
     "upper(source) || '.COM?subject=x' "
+    "WHEN doc_id % 7 = 5 THEN '//WWW.' || upper(source) || '.COM/P/./' || "
+    "doc_id || '/../Q?utm_source=x#f' "
     "ELSE upper(source) || ':80' || doc_id || '/A/./B/../' || doc_id || "
     "'/../../C' END"
 )
@@ -118,7 +121,7 @@ _URL_ADV_EXPR_SQL = (
 
 def _url_adv_col():
     host = F.concat(F.lit("WWW."), F.upper("source"), F.lit(".COM"))
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     did = F.col("doc_id")
     return (
         F.when(m == 0, F.concat(F.lit("HTTP://"), host))
@@ -130,6 +133,8 @@ def _url_adv_col():
                                F.lit("#frag")))
         .when(m == 4, F.concat(F.lit("MAILTO:U"), did, F.lit("@"),
                                F.upper("source"), F.lit(".COM?subject=x")))
+        .when(m == 5, F.concat(F.lit("//"), host, F.lit("/P/./"), did,
+                               F.lit("/../Q?utm_source=x#f")))
         .otherwise(F.concat(F.upper("source"), F.lit(":80"), did,
                             F.lit("/A/./B/../"), did, F.lit("/../../C")))
     )
@@ -1041,8 +1046,10 @@ def oracle_sql() -> dict[str, str]:
         ), au AS (
           SELECT doc_id, scheme, rest,
             (scheme = '' OR rest LIKE '//%') AS is_auth,
-            CASE WHEN scheme = '' THEN rest
-                 WHEN rest LIKE '//%' THEN substr(rest, 3)
+            -- a leading "//" marks the authority with or without a
+            -- scheme (protocol-relative forms, ADVICE r4)
+            CASE WHEN rest LIKE '//%' THEN substr(rest, 3)
+                 WHEN scheme = '' THEN rest
                  ELSE '' END AS hostpath
           FROM re
         ), hp AS (

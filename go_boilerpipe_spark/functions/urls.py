@@ -23,9 +23,17 @@ from pyspark.sql import functions as F
 
 
 def with_default_scheme(url: Column) -> Column:
-    """U1: prepend implicit http:// when no scheme is present."""
+    """U1: prepend implicit http:// when no scheme is present.
+
+    Protocol-relative inputs (``//host/path``) already carry the
+    authority marker, so they get only ``http:`` — the pure port's
+    re-parse of ``_unnormalized_str()`` produces exactly
+    ``http://host/path`` for them (normurl.py URL._raw_parse:49)."""
     has_scheme = url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-    return F.when(has_scheme, url).otherwise(F.concat(F.lit("http://"), url))
+    return F.when(has_scheme, url).otherwise(
+        F.when(url.startswith("//"), F.concat(F.lit("http:"), url))
+        .otherwise(F.concat(F.lit("http://"), url))
+    )
 
 
 def clean_rooted_path(path: Column) -> Column:
@@ -91,7 +99,12 @@ def normalize_url(url: Column) -> Column:
         has_scheme, F.substr(s, F.length(scheme) + F.lit(2))
     ).otherwise(s)
     authority = (~has_scheme) | rest.startswith("//")
-    hostpath = F.when(has_scheme, F.substr(rest, F.lit(3))).otherwise(rest)
+    # a leading "//" marks the authority whether or not a scheme was
+    # present — protocol-relative "//host/path" parses host "host" like
+    # the pure port (URL._raw_parse treats any "//" prefix uniformly)
+    hostpath = F.when(
+        rest.startswith("//"), F.substr(rest, F.lit(3))
+    ).otherwise(rest)
     host = F.when(
         authority, F.regexp_extract(hostpath, "^([^/]*)", 1)
     ).otherwise(F.lit(""))
@@ -127,9 +140,10 @@ def with_normalized_url(df, url_col: str, out_col: str = "norm_url"):
     )
     d = d.withColumn(
         "_u_hostpath",
-        F.when(F.col("_u_scheme") == "", F.col("_u_rest")).otherwise(
-            F.substr(F.col("_u_rest"), F.lit(3))
-        ),
+        F.when(
+            F.col("_u_rest").startswith("//"),
+            F.substr(F.col("_u_rest"), F.lit(3)),
+        ).otherwise(F.col("_u_rest")),
     )
     d = d.withColumn(
         "_u_host",
@@ -268,10 +282,25 @@ def url_date(url: Column, pre_normalized: bool = False) -> Column:
     s = url if pre_normalized else normalize_url(url)
 
     def go_date(y, m, d):
-        # Go time.Date component normalization: anchor at Jan 1, then
-        # add months and days (add_months/date_add both roll over)
-        return F.date_add(
-            F.add_months(F.make_date(y, F.lit(1), F.lit(1)), m - 1), d - 1
+        # Go time.Date component normalization: anchor at 0001-01-01 and
+        # add (y-1)*12 + (m-1) months then d-1 days (add_months/date_add
+        # both roll over). The pure port computes datetime.date(y', m', 1)
+        # + (d-1) days where y' is the month-rolled year, and returns None
+        # when datetime raises — i.e. when y' < 1 (year "0000" with months
+        # 1-12 stays at year 0) or the day overflow crosses 9999-12-31.
+        # Mirror BOTH bounds so the twin NULLs exactly where the port
+        # Nones (ADVICE r4: make_date accepted year 0).
+        y_rolled = (y + F.floor((m - F.lit(1)) / F.lit(12.0))).cast("int")
+        res = F.date_add(
+            F.add_months(
+                F.make_date(F.lit(1), F.lit(1), F.lit(1)),
+                (y - F.lit(1)) * 12 + (m - F.lit(1)),
+            ),
+            d - 1,
+        )
+        return F.when(
+            (y_rolled >= 1) & (y_rolled <= 9999) & (F.year(res) <= 9999),
+            res,
         )
     # /yyyy/mon/dd (e.g. /2017/apr/20)
     y1 = F.regexp_extract(s, r"/(\d{4})/([a-z]{3})/(\d{2})", 1)
@@ -315,7 +344,9 @@ def _case_preserving_parts(u: Column) -> tuple[Column, Column]:
     has = scheme != ""
     rest = F.when(has, F.substr(s, F.length(scheme) + F.lit(2))).otherwise(s)
     auth = (~has) | rest.startswith("//")
-    hostpath = F.when(has, F.substr(rest, F.lit(3))).otherwise(rest)
+    hostpath = F.when(
+        rest.startswith("//"), F.substr(rest, F.lit(3))
+    ).otherwise(rest)
     host = F.when(
         auth, F.regexp_extract(hostpath, "^([^/]*)", 1)
     ).otherwise(F.lit(""))

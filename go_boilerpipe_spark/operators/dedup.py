@@ -289,8 +289,12 @@ def embedding_near_dup_pairs(
     before the self-join (identical embeddings all share one bucket).
     ``bucket_col`` consumes a stored :func:`similarity.with_lsh_bucket`
     column (same ``h``) instead of re-deriving the projection."""
-    from .similarity import cosine_batched, sign_lsh_bucket_batched
+    from .similarity import (
+        check_bucket_h, cosine_batched, sign_lsh_bucket_batched,
+    )
 
+    if bucket_col is not None:
+        check_bucket_h(emb, bucket_col, h)
     bucket_expr = (
         F.col(bucket_col) if bucket_col is not None
         else sign_lsh_bucket_batched(F.col(vec_col), h)

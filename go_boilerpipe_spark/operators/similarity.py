@@ -345,8 +345,30 @@ def with_lsh_bucket(
     everywhere (VERDICT r3 item 3: at 10^9 vectors the bucket is a column
     you write next to the embedding, not an expression each consumer
     re-derives; every sign-LSH consumer here accepts ``bucket_col`` to
-    consume it)."""
-    return emb.withColumn(out_col, sign_lsh_bucket_batched(F.col(vec_col), h))
+    consume it). The hash width ``h`` is recorded in the column metadata
+    (key ``lsh_h``) so consumers can fail fast instead of silently
+    producing near-empty joins when handed a bucket built with a
+    different ``h`` (ADVICE r4)."""
+    bucket = sign_lsh_bucket_batched(F.col(vec_col), h)
+    return emb.drop(out_col).select(
+        "*", bucket.alias(out_col, metadata={"lsh_h": h})
+    )
+
+
+def check_bucket_h(df: DataFrame, bucket_col: str, h: int) -> None:
+    """Fail fast when a stored bucket column was derived with a different
+    hash width than the query side will use (ADVICE r4: a mismatched
+    ``h`` silently collapses recall — the join keys come from disjoint
+    codebooks). Columns without recorded metadata (external tables,
+    pre-r5 parquet) are accepted unchecked."""
+    meta = df.schema[bucket_col].metadata or {}
+    stored = meta.get("lsh_h")
+    if stored is not None and int(stored) != h:
+        raise ValueError(
+            f"bucket column {bucket_col!r} was derived with h={stored} "
+            f"but the query side uses h={h}; rebuild the stored bucket "
+            f"with with_lsh_bucket(h={h}) or pass the matching h"
+        )
 
 
 def cosine_topk_lsh_multiprobe(
@@ -367,6 +389,7 @@ def cosine_topk_lsh_multiprobe(
     the corpus already carries a :func:`with_lsh_bucket` column (same
     ``h``) so the plan reuses the stored derivation."""
     if bucket_col is not None:
+        check_bucket_h(emb, bucket_col, h)
         e = emb.withColumnRenamed(bucket_col, "bucket")
     else:
         e = emb.withColumn(
@@ -409,6 +432,7 @@ def cosine_topk_lsh(
     by unioning perturbed buckets — same plan shape. ``bucket_col`` reuses
     a stored :func:`with_lsh_bucket` column instead of re-deriving."""
     if bucket_col is not None:
+        check_bucket_h(emb, bucket_col, h)
         e = emb.withColumnRenamed(bucket_col, "bucket")
     else:
         e = emb.withColumn(

@@ -402,6 +402,47 @@ class TestScaleHardening:
             staged, threshold=0.3, bucket_col="bucket").collect()))
         assert s_pairs == d_pairs
 
+    def test_stored_bucket_h_mismatch_fails_fast(self, spark, tmp_path):
+        # ADVICE r4: a stored bucket built with one h consumed by a query
+        # side using another h silently empties the join — the recorded
+        # lsh_h metadata must make every consumer raise instead.
+        import pytest as _pytest
+
+        from go_boilerpipe_spark.operators import dedup
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0 - i]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.limit(1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        staged = similarity.with_lsh_bucket(emb, h=8)
+        assert staged.schema["bucket"].metadata["lsh_h"] == 8
+
+        # metadata survives a parquet round trip — the 10^9-vector case
+        # is a bucket column written at ingest and read back much later
+        p = str(tmp_path / "emb_bucketed")
+        staged.write.mode("overwrite").parquet(p)
+        reread = spark.read.parquet(p)
+        assert reread.schema["bucket"].metadata["lsh_h"] == 8
+
+        for consumer in (
+            lambda df: similarity.cosine_topk_lsh(
+                df, q, k=3, h=12, bucket_col="bucket"),
+            lambda df: similarity.cosine_topk_lsh_multiprobe(
+                df, q, k=3, h=12, bucket_col="bucket"),
+            lambda df: dedup.embedding_near_dup_pairs(
+                df, h=12, bucket_col="bucket"),
+        ):
+            with _pytest.raises(ValueError, match="h=8"):
+                consumer(reread)
+        # matching h passes through unchanged
+        assert similarity.cosine_topk_lsh(
+            reread, q, k=3, h=8, bucket_col="bucket"
+        ).count() >= 1
+
     def test_ivf_broadcast_centroids_no_collect(self, spark):
         import math
 

@@ -57,6 +57,22 @@ CASES = [
     "http://h.com/2017/apr/40/",            # day overflow -> Go-normalized
     "http://h.com/2016-13-05",              # month 13 -> Jan next year
     "http://h.com/2016-00",                 # month 0 -> Dec prior year
+    # ADVICE r4: protocol-relative — leading "//" marks the authority
+    # even with no scheme (URL._raw_parse:49 strips it uniformly)
+    "//host.com/path",
+    "//WWW.Example.COM/A/../b?utm_source=x#f",
+    "//host",                               # bare protocol-relative host
+    "//host:8080/p/q",                      # port survives in host
+    "////x",                                # empty host, path "//x"
+    "//",                                   # empty authority
+    "//h.com/2016/nov/16/story",            # date through the "//" branch
+    # ADVICE r4: year-0000 dates — port Nones (datetime floor) for months
+    # 1-12, but month 13 rolls INTO year 1 and must survive
+    "http://h.com/0000-01",
+    "http://h.com/0000-01-15",
+    "http://h.com/0000-13",                 # rolls to 0001-01-01
+    "http://h.com/0000-00",                 # rolls to year -1 -> None
+    "http://h.com/9999-12-99",              # day overflow past 9999 -> None
 ]
 
 
@@ -180,7 +196,7 @@ def _fuzz_urls(n=300, seed=20260817):
 
     rng = random.Random(seed)
     schemes = ["http://", "https://", "HTTP://", "ftp://", "mailto:",
-               "scheme:", "a.b:", ""]
+               "scheme:", "a.b:", "", "//"]
     hosts = ["example.com", "WWW.Example.COM", "a.b.c.example.org",
              "host", "h.com:8080", "6h", ""]
     segs = ["a", "B", "..", ".", "2016", "nov", "16", "2016-12-15",
