@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import warnings
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -62,15 +63,132 @@ def _word_shingles(n: int, toks_col: str = "_toks"):
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
-def minhash_signatures(
+def _minhash_kernel_factory(num_hashes: int, shingle_n: int):
+    """Build the per-batch MinHash kernel. Bit-identical to the JVM
+    explode/min-agg plan: Java-regex tokenization (``trim`` strips ASCII
+    spaces, ``\\s+`` is the ASCII class — ``re.ASCII`` matches Java's
+    default), the same ``"s{j}:" || shingle`` md5 preimages, and the
+    lexicographic-min of hex, computed as a bytewise min of digests
+    (hex encoding is order-preserving). The per-seed prefix md5 state is
+    precomputed once and ``copy()``-ed per shingle."""
+    import hashlib
+    import re
+
+    # bytes prefixes, not HASH objects — hashlib states don't pickle, so
+    # the per-seed states are rebuilt per batch (num_hashes md5 inits,
+    # negligible) and copy()-ed per shingle
+    prefixes = [f"s{j}:".encode("ascii") for j in range(num_hashes)]
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        prefix_states = [hashlib.md5(p) for p in prefixes]
+        out = []
+        for t in texts:
+            if t is None:
+                # JVM path: null text -> null shingle -> min() over no
+                # non-null inputs -> all-null signature columns
+                out.append([None] * num_hashes)
+                continue
+            toks = ws.split(t.strip(" "))
+            cnt = len(toks)
+            if cnt >= shingle_n:
+                shingles = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(cnt - shingle_n + 1)
+                }
+            else:
+                shingles = {" ".join(toks)}
+            best: list = [None] * num_hashes
+            for sh in shingles:
+                b = sh.encode("utf-8")
+                for j in range(num_hashes):
+                    h = prefix_states[j].copy()
+                    h.update(b)
+                    d = h.digest()
+                    if best[j] is None or d < best[j]:
+                        best[j] = d
+            out.append([d.hex() for d in best])
+        return pd.Series(out)
+
+    return kernel
+
+
+_MINHASH_UDFS: dict = {}
+
+
+def minhash_signatures_batched(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
+    """Arrow-batched MinHash signatures (VERDICT r4 item 2): one map-side
+    pandas UDF computes the whole signature, replacing the
+    explode-shingles → num_hashes×md5 → min partial-agg plan. Structural
+    win at scale: the per-doc signature SHUFFLE disappears entirely — the
+    kernel is a map-side projection, so banding consumes signatures with
+    no exchange before the bucket join. Values are bit-identical to
+    :func:`minhash_signatures` (same preimages, same min).
+
+    Small inputs are round-robin repartitioned to the default parallelism
+    before the UDF: a single small parquet file reads as ONE split, and
+    AQE coalesces small upstream shuffles to one partition — either way
+    one Python worker would do all the hashing. The guard is the STATIC
+    optimizer size estimate (no execution — ``.rdd.getNumPartitions()``
+    under AQE materializes upstream stages just to count), and fires only
+    below ~128 MB×parallelism, where the extra exchange is trivially
+    cheap. At crawl scale the estimate is huge, the guard never fires,
+    and the kernel stays a pure map-side projection over the input's own
+    partitioning. Values are row-local, so partitioning never affects
+    them."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # internal API unavailable -> keep input as-is
+        est_bytes = None
+    if est_bytes is not None and est_bytes < target * (128 << 20):
+        df = df.repartition(target)
+
+    key = (num_hashes, shingle_n)
+    if key not in _MINHASH_UDFS:
+        _MINHASH_UDFS[key] = pandas_udf(
+            _minhash_kernel_factory(num_hashes, shingle_n), "array<string>"
+        )
+    sig = df.select(
+        F.col(id_col), _MINHASH_UDFS[key](F.col(text_col)).alias("_sig")
+    )
+    # _sig is an attribute of its own projection (the UDF runs once in a
+    # single ArrowEvalPython node); the element reads below are cheap
+    return sig.select(
+        id_col, *[F.col("_sig")[j].alias(f"mh{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
-    md5(s || shingle) (lexicographic min of hex = a valid min-hash)."""
+    md5(s || shingle) (lexicographic min of hex = a valid min-hash).
+
+    ``use_arrow=True`` (default) routes through the map-side Arrow
+    kernel (:func:`minhash_signatures_batched` — no signature shuffle);
+    ``use_arrow=False`` keeps the pure-Catalyst explode/min-agg plan
+    (same values, useful where Python workers are unavailable)."""
+    if use_arrow:
+        return minhash_signatures_batched(
+            df, id_col, text_col, num_hashes, shingle_n
+        )
     sh = _stage_tokens(df, id_col, text_col).select(
         F.col(id_col), F.explode(_word_shingles(shingle_n)).alias("sh")
     )
@@ -186,9 +304,17 @@ def minhash_lsh_pairs_capped(
        exclusions with :func:`lsh_dropped_buckets`.
     """
     if pre_dedup:
-        flags = exact_dedup(df, id_col, text_col)
-        df = df.join(
-            flags.filter(~F.col("is_duplicate")).select(id_col), id_col
+        # keeper filter inline on the window result — one shuffle on the
+        # text hash, NO join back (the old exact_dedup + join-on-id plan
+        # paid a second exchange for the same answer)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_th")
+        df = (
+            df.withColumn("_th", F.md5(F.col(text_col).cast("binary")))
+            .withColumn("_keep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_th", "_keep")
         )
     stacked = _lsh_stacked(df, id_col, text_col, num_hashes, bands, shingle_n)
     capped = _cap_buckets(stacked, max_bucket_size)

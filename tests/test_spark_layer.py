@@ -218,6 +218,38 @@ class TestDedup:
         assert out[(0, 1)] == 1.0
         assert all(j >= 0.5 for j in out.values())
 
+    def test_minhash_batched_bit_identical(self, spark):
+        # VERDICT r4 item 2: the Arrow-batched signature kernel must equal
+        # the pure-Catalyst explode/min-agg plan byte-for-byte on every
+        # tokenization edge: short docs (< n tokens), empty + space-only
+        # text, tab/newline/vertical-tab separators, non-breaking space
+        # (NOT a Java \s separator), duplicate shingles, unicode text,
+        # leading whitespace after trim, and null text.
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one two"),                       # < shingle_n tokens
+            (3, "single"),
+            (4, ""),
+            (5, "   "),
+            (6, "a\tb\nc\x0bd\fe\rf g"),          # every Java \s char
+            (7, "a b c d"),                  # NBSP is NOT a separator
+            (8, "x y z x y z x y z"),             # duplicate shingles
+            (9, "汉字 token mix 汉字 token mix extra"),
+            (10, "\tleading and trailing\t"),     # trim strips spaces only
+            (11, None),
+            (12, "  spaced   out   tokens   here  "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for nh, sn in ((12, 3), (8, 2)):
+            jvm = sorted(map(tuple, dedup.minhash_signatures(
+                docs, num_hashes=nh, shingle_n=sn, use_arrow=False
+            ).collect()))
+            arrow = sorted(map(tuple, dedup.minhash_signatures(
+                docs, num_hashes=nh, shingle_n=sn, use_arrow=True
+            ).collect()))
+            assert arrow == jvm, (nh, sn)
+
 
 class TestSimilarity:
     def test_self_is_rank_one(self, spark):
