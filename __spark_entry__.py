@@ -324,7 +324,10 @@ def _q_url_dates(spark, sf):
     # string output: date-type pandas representations differ across
     # engines (datetime64 vs date objects); ISO strings compare exactly.
     # Staged: url_date searches the NORMALIZED string (reference
-    # semantics); derive it once and pass pre_normalized=True.
+    # semantics); derive it once and pass pre_normalized=True. Further
+    # per-regex-group staging was A/B-tested in r5 and does NOT help:
+    # Spark 4 subexpression elimination already evaluates each duplicated
+    # regexp_extract subtree once (BENCH/BASELINE.md round-5 note).
     staged = urls.with_normalized_url(
         d.select("doc_id", u.alias("_raw")), "_raw"
     )
@@ -336,7 +339,11 @@ def _q_url_dates(spark, sf):
 
 
 def _q_url_keep_query(spark, sf):
-    # U1 with KeepQuery=true: tracking keys stripped, survivors key-sorted
+    # U1 with KeepQuery=true: tracking keys stripped, survivors key-sorted.
+    # A projection-staged variant was A/B-tested in r5 and does not beat
+    # this form — subexpression elimination already evaluates the
+    # decode→sort→encode array pipeline once despite the double
+    # reference (BENCH/BASELINE.md round-5 note).
     d = _t(spark, sf, "documents")
     u = F.concat(
         F.lit("https://h.com/p?utm_source=news&q="),

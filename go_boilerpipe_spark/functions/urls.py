@@ -234,6 +234,10 @@ def strip_tracking_params(url: Column, blacklist=DEFAULT_QUERY_KEY_BLACKLIST) ->
                            _quote_plus(t["v"])),
     )
     kept_s = F.array_join(enc, "&")
+    # kept_s is referenced twice (empty test + concat) but evaluated
+    # ONCE: Spark 4 subexpression elimination covers both codegen and
+    # the interpreted HOF path — a projection-staged variant was
+    # A/B-tested in r5 and measured no win (BENCH/BASELINE.md r5 note)
     return F.when(kept_s == "", base).otherwise(
         F.concat(base, F.lit("?"), kept_s)
     )
