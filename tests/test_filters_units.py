@@ -316,6 +316,25 @@ class TestGoToLower:
 
         assert go_to_lower("Hello, World!") == "hello, world!"
 
+    def test_pin_set_is_exhaustive(self):
+        # VERDICT r4 item 6: go_to_lower pre-translates exactly {U+0130,
+        # U+03A3}. This scan proves those are the ONLY codepoints where
+        # whole-string str.lower() deviates from a per-rune simple
+        # mapping (= Go strings.ToLower) in THIS interpreter's Unicode
+        # tables: U+0130 is the sole multi-char lowercase, U+03A3 the
+        # sole context-sensitive one (Final_Sigma). If a Python upgrade
+        # changes the tables, this fails loudly instead of silently
+        # shifting extraction bytes. (Residual caveat, documented in
+        # STATUS.md: Go's OWN tables may be a different Unicode version;
+        # unverifiable without a Go toolchain in this sandbox.)
+        multi = [c for c in range(0x110000) if len(chr(c).lower()) != 1]
+        assert multi == [0x130]
+        ctx = [
+            c for c in range(0x110000)
+            if ("A" + chr(c)).lower()[1:] != chr(c).lower()
+        ]
+        assert ctx == [0x3A3]
+
     def test_title_match_with_turkish_title(self):
         # a Turkish all-caps <title> must match its body repetition the way
         # Go's simple lowercase does
