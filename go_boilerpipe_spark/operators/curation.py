@@ -243,8 +243,12 @@ def repetition_stats(
     - ``dup_bigram_frac``: fraction of bigram positions whose bigram
       occurs more than once within the doc.
 
-    One explode + one shuffle on (doc, bigram) — uniform keys; ratios are
-    divisions of exact BIGINTs so the oracle hash-matches."""
+    Fully MAP-SIDE (r5): a per-doc statistic needs no cross-row data, so
+    the r4 explode → groupBy(doc,bigram) → groupBy(doc) plan paid two
+    shuffles for nothing. Now: sort the staged bigram array and fold
+    run-lengths in one pass (count of a bigram = length of its run in
+    the sorted array) — zero exchanges, integer-exact, same output, and
+    at 100 TB the operator costs exactly one scan."""
     # token array staged in its OWN projection: the bigram transform
     # references it once per bigram, and an inline split() subtree would
     # re-tokenize the full text per element (O(n²) in doc length — the
@@ -262,27 +266,52 @@ def repetition_stats(
             idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")
         ).alias("_bgs"),
     )
-    bg = staged.select(id_col, F.explode("_bgs").alias("bigram"))
-    counts = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
-    return (
-        counts.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.max("c").alias("top_c"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "dup_c"
-            ),
-        )
-        .select(
-            id_col,
-            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
-            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias(
-                "top_bigram_share"
-            ),
-            F.round(F.col("dup_c") / F.col("n_bigrams"), 6).alias(
-                "dup_bigram_frac"
-            ),
-        )
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        F.array_sort(F.col("_bgs")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("top"),   # max run length = max bigram count
+            zero.alias("dup"),   # positions in runs of length > 1
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["top"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("top"),
+            (
+                acc["dup"]
+                + F.when(
+                    x.eqNullSafe(acc["prev"]),
+                    # run 1→2 counts both positions; each further +1
+                    F.when(acc["run"] == 1, F.lit(2).cast("long")).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).otherwise(zero)
+            ).alias("dup"),
+        ),
+    )
+    stats = staged.select(
+        F.col(id_col),
+        F.size("_bgs").cast("bigint").alias("n_bigrams"),
+        fold.alias("_st"),
+    )
+    return stats.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("_st")["top"] / F.col("n_bigrams"), 6).alias(
+            "top_bigram_share"
+        ),
+        F.round(F.col("_st")["dup"] / F.col("n_bigrams"), 6).alias(
+            "dup_bigram_frac"
+        ),
     )
 
 

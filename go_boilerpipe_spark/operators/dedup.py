@@ -330,13 +330,84 @@ def minhash_lsh_pairs_capped(
     )
 
 
+def _simhash_kernel_factory(bits: int):
+    """Map-side SimHash kernel, bit-identical to the explode/56-agg plan:
+    same Java-regex tokenization as the JVM path (``trim`` strips ASCII
+    spaces, ``\\s+`` via ``re.ASCII``), token hash = int of the first 14
+    md5 hex chars, bit b of the result set iff strictly more tokens have
+    bit b set than clear (votes = 2·ones − n > 0 — ties stay 0 like the
+    JVM's ``> 0``). Bit votes are numpy-vectorized per doc."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+", re.ASCII)
+    md5 = hashlib.md5
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)  # dropped by the caller's filter
+                continue
+            toks = ws.split(t.strip(" "))
+            hs = np.fromiter(
+                (int(md5(tok.encode("utf-8")).hexdigest()[:14], 16)
+                 for tok in toks),
+                dtype=np.uint64, count=len(toks),
+            )
+            ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
+                axis=0, dtype=np.int64
+            )
+            votes = 2 * ones - len(toks)
+            out.append(int(weights[votes > 0].sum()))
+        return pd.Series(out, dtype="object")
+
+    return kernel
+
+
+_SIMHASH_UDFS: dict = {}
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 56) -> DataFrame:
+            bits: int = 56, use_arrow: bool = True) -> DataFrame:
     """Per-doc SimHash over whitespace tokens.
 
     Token hash = first 14 hex chars of md5 (56 bits — stays in positive
     int64 in every engine). simhash bit b = majority of token-hash bit b.
-    """
+
+    ``use_arrow=True`` (default) computes the whole signature in one
+    map-side Arrow kernel — a per-doc statistic needs no shuffle, while
+    the Catalyst path pays an explode plus a 56-aggregate exchange (and
+    its large codegen unit). Values are bit-identical; docs with NULL
+    text are absent from the output either way (the explode drops them;
+    the kernel path filters them)."""
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        if bits not in _SIMHASH_UDFS:
+            _SIMHASH_UDFS[bits] = pandas_udf(
+                _simhash_kernel_factory(bits), "long"
+            )
+        sized = df.filter(F.col(text_col).isNotNull())
+        # same small-input parallelism guard as the MinHash kernel
+        sc = df.sparkSession.sparkContext
+        try:
+            est = int(
+                sized._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            est = None
+        if est is not None and est < sc.defaultParallelism * (128 << 20):
+            sized = sized.repartition(sc.defaultParallelism)
+        return sized.select(
+            F.col(id_col),
+            _SIMHASH_UDFS[bits](F.col(text_col)).alias("simhash"),
+        )
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),

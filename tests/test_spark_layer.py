@@ -218,6 +218,30 @@ class TestDedup:
         assert out[(0, 1)] == 1.0
         assert all(j >= 0.5 for j in out.values())
 
+    def test_simhash_batched_bit_identical(self, spark):
+        # r5: the map-side Arrow SimHash must equal the explode/56-agg
+        # plan exactly, including tokenizer edges, tie votes, and the
+        # null-text row-absence semantics
+        rows = [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fox"),
+            (2, "a\tb\nc\x0bd\fe\rf g"),
+            (3, ""),
+            (4, "   "),
+            (5, "x y"),                      # NBSP not a separator
+            (6, None),                       # absent from BOTH outputs
+            (7, "汉字 token mix"),
+            (8, "  spaced   out  "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for bits in (56, 32):
+            jvm = sorted(map(tuple, dedup.simhash(
+                docs, bits=bits, use_arrow=False).collect()))
+            arrow = sorted(map(tuple, dedup.simhash(
+                docs, bits=bits, use_arrow=True).collect()))
+            assert arrow == jvm, bits
+            assert all(r[0] != 6 for r in arrow)  # null text dropped
+
     def test_minhash_batched_bit_identical(self, spark):
         # VERDICT r4 item 2: the Arrow-batched signature kernel must equal
         # the pure-Catalyst explode/min-agg plan byte-for-byte on every
