@@ -719,9 +719,26 @@ def jaccard_verify_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    prune_candidates: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify stage after any
-    LSH): broadcast-safe join of shingle sets onto the (small) pair list."""
+    LSH): broadcast-safe join of shingle sets onto the (small) pair list.
+
+    ``prune_candidates=True`` computes shingle sets ONLY for docs that
+    appear in a pair (left-semi prune) — at crawl scale candidates are a
+    vanishing fraction of the corpus, so enable it whenever ``pairs`` is
+    MATERIALIZED (persisted or read back from a checkpoint between the
+    candidate and verify stages, the normal 100-TB shape). Leave it off
+    for a lazy ``pairs`` lineage: the prune references ``pairs`` two
+    more times, and re-deriving the whole candidate plan 3× costs more
+    than the staging it saves (measured 1.45 → 2.43 s at sf0.1)."""
+    if prune_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(cand_ids, id_col, "leftsemi")
     sets_df = _stage_tokens(df, id_col, text_col).select(
         F.col(id_col), _word_shingles(shingle_n).alias("sh_set")
     )

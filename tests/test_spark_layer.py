@@ -218,6 +218,21 @@ class TestDedup:
         assert out[(0, 1)] == 1.0
         assert all(j >= 0.5 for j in out.values())
 
+    def test_jaccard_prune_candidates_identical(self, docs):
+        # r5: the materialized-pairs prune path (shingles only for docs
+        # appearing in a candidate pair) must give identical results
+        pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=8)
+        pairs = pairs.persist()
+        try:
+            base = sorted(map(tuple, dedup.jaccard_verify_pairs(
+                docs, pairs, threshold=0.5).collect()))
+            pruned = sorted(map(tuple, dedup.jaccard_verify_pairs(
+                docs, pairs, threshold=0.5, prune_candidates=True
+            ).collect()))
+            assert pruned == base and base
+        finally:
+            pairs.unpersist()
+
     def test_simhash_batched_bit_identical(self, spark):
         # r5: the map-side Arrow SimHash must equal the explode/56-agg
         # plan exactly, including tokenizer edges, tie votes, and the
