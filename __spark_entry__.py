@@ -787,6 +787,29 @@ def _q_host_skew(spark, sf):
     )
 
 
+def _q_host_cap(spark, sf):
+    """Per-host document cap (crawl curation vs host farms): a skewed
+    host layout (~half the docs on two hot hosts) capped at 25 docs per
+    host with a deterministic, engine-portable rank — the kept subset is
+    identical across runs, partitionings, and engines."""
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 4 < 2,
+            F.concat(F.lit("hot"), (F.col("doc_id") % 2).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        ),
+        F.lit(".example.com/p/"),
+        F.col("doc_id"),
+    )
+    capped = curation.cap_per_host(
+        d.select("doc_id", u.alias("_url")), F.col("_url"), max_docs=25
+    )
+    return capped.select("doc_id")
+
+
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
@@ -880,6 +903,7 @@ _RAW_QUERIES = {
         "pdf_parse": _q_pdf_parse,
         "token_budget_pack": _q_token_budget_pack,
         "host_skew": _q_host_skew,
+        "host_cap": _q_host_cap,
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
@@ -1790,6 +1814,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, n_docs,
               round(n_docs / sum(n_docs) OVER (), 6) AS share
             FROM c
+        """,
+        "host_cap": """
+            -- twin of curation.cap_per_host over the skewed synthetic
+            -- host layout: rank within host by (md5(host), md5(host|id),
+            -- id) — the same engine-portable stable order the Spark
+            -- window uses — and keep rank <= 25
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 < 2
+                     THEN 'hot' || CAST(doc_id % 2 AS VARCHAR)
+                     ELSE 'h' || CAST(doc_id % 97 AS VARCHAR)
+                END || '.example.com' AS host
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                row_number() OVER (
+                  PARTITION BY host
+                  ORDER BY md5(host), md5(host || '|' || doc_id), doc_id
+                ) AS rk
+              FROM u
+            )
+            SELECT doc_id FROM r WHERE rk <= 25
         """,
         "multimodal_frames": """
             WITH meta AS (

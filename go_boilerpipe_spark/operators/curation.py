@@ -336,6 +336,48 @@ def blocklist_filter(
     )
 
 
+def cap_per_host(
+    docs: DataFrame,
+    url_col,
+    max_docs: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host document cap — the standard crawl-curation step against
+    host farms (a handful of hosts dominate any crawl; capping bounds
+    their share of the training mix AND bounds the skew any later
+    host-keyed stage can see).
+
+    Deterministic and engine-portable: within a host, docs rank by
+    (md5(url), id) — a stable pseudo-random order, so the kept subset is
+    reproducible across runs, partitionings, and engines (the DuckDB
+    oracle ranks identically; xxhash64 would be Spark-only). One shuffle
+    on the host key; the rank is a window over that same partitioning.
+    Hosts at crawl scale are heavy-tailed — if one host exceeds executor
+    memory in a single window partition, pre-aggregate with the salted
+    two-phase pattern (operators/skew.py) or cap in two passes; at the
+    10^3-docs-per-host cap that point is never reached because the
+    window only needs a bounded rank, not the full host in memory
+    (Spark's window with row_number streams the partition)."""
+    from pyspark.sql import Window
+
+    from ..functions.urls import url_hostname
+
+    keyed = docs.withColumn("_host", url_hostname(url_col))
+    w = Window.partitionBy("_host").orderBy(
+        F.md5(F.col("_host").cast("binary")).asc(),  # stable per host
+        F.md5(
+            F.concat(F.col("_host"), F.lit("|"), F.col(id_col).cast("string"))
+            .cast("binary")
+        ).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_docs)
+        .drop("_rk", "_host")
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 20,

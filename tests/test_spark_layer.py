@@ -667,6 +667,36 @@ class TestCuration:
         assert (1, 10) in idx and (6, 12) in idx and (3, 14) in idx
         assert (5, 11) in idx and (2, 10) in idx
 
+    def test_cap_per_host_deterministic(self, spark):
+        # r5: per-host cap keeps EXACTLY max_docs on a hot host, the
+        # whole tail elsewhere, and the kept subset is identical across
+        # partitionings (stable md5 rank, no nondeterministic ordering)
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (i, f"https://hot.example.com/p/{i}" if i < 80
+             else f"https://h{i % 7}.example.org/p/{i}")
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        kept = curation.cap_per_host(df, F.col("url"), max_docs=10)
+        by_host = {
+            r["host"]: r["n"]
+            for r in kept.groupBy(
+                F.regexp_extract("url", "//([^/]+)", 1).alias("host")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        assert by_host["hot.example.com"] == 10
+        assert sum(v for k, v in by_host.items() if k != "hot.example.com") == 40
+        ids1 = sorted(r["doc_id"] for r in kept.collect())
+        ids2 = sorted(
+            r["doc_id"]
+            for r in curation.cap_per_host(
+                df.repartition(13), F.col("url"), max_docs=10
+            ).collect()
+        )
+        assert ids1 == ids2
+
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
 
