@@ -352,12 +352,11 @@ def cap_per_host(
     reproducible across runs, partitionings, and engines (the DuckDB
     oracle ranks identically; xxhash64 would be Spark-only). One shuffle
     on the host key; the rank is a window over that same partitioning.
-    Hosts at crawl scale are heavy-tailed — if one host exceeds executor
-    memory in a single window partition, pre-aggregate with the salted
-    two-phase pattern (operators/skew.py) or cap in two passes; at the
-    10^3-docs-per-host cap that point is never reached because the
-    window only needs a bounded rank, not the full host in memory
-    (Spark's window with row_number streams the partition)."""
+    Hosts at crawl scale are heavy-tailed: a hot host's window partition
+    that exceeds executor memory SPILLS (WindowExec's row buffer is
+    disk-backed), so the job completes; if one host dominates wall time,
+    pre-filter its overflow with the salted two-phase pattern
+    (operators/skew.py) before the exact rank."""
     from pyspark.sql import Window
 
     from ..functions.urls import url_hostname
