@@ -290,10 +290,11 @@ def extract_articles_deduped(
         .dropDuplicates(["url"])
     )
     if repartition:
-        if parallelism:
-            uniq = uniq.repartition(parallelism, F.xxhash64("url"))
-        else:
-            uniq = uniq.repartition(F.xxhash64("url"))
+        # ALWAYS an explicit partition count: repartition(col) without a
+        # number is AQE-coalescible, and a coalesced-to-one small stage
+        # serializes the Python kernel (r5 lesson from the MinHash guard)
+        n = parallelism or 4 * df.sparkSession.sparkContext.defaultParallelism
+        uniq = uniq.repartition(n, F.xxhash64("url"))
     kernel = extract_record_batches if counters is None else _counting_kernel(counters)
     ext = uniq.mapInArrow(kernel, OUTPUT_SCHEMA_DDL)
     ext = ext.withColumnRenamed("url", "_h")
@@ -319,9 +320,10 @@ def extract_articles(
 
     pruned = df.select("url", "html")
     if repartition:
-        if parallelism:
-            pruned = pruned.repartition(parallelism, F.xxhash64("url"))
-        else:
-            pruned = pruned.repartition(F.xxhash64("url"))
+        # explicit count — repartition(col) without one is AQE-coalescible
+        # and a small stage coalesced to one partition serializes the
+        # Python kernel (r5 lesson from the MinHash guard)
+        n = parallelism or 4 * df.sparkSession.sparkContext.defaultParallelism
+        pruned = pruned.repartition(n, F.xxhash64("url"))
     kernel = extract_record_batches if counters is None else _counting_kernel(counters)
     return pruned.mapInArrow(kernel, OUTPUT_SCHEMA_DDL)
