@@ -810,6 +810,35 @@ def _q_host_cap(spark, sf):
     return capped.select("doc_id")
 
 
+def _q_pii_scrub(spark, sf):
+    """PII scrub over documents with synthetic PII appended (so every row
+    has known hits on top of whatever the text contains): per-category
+    counts + the masked text, all pure codegen."""
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 555 01"), (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    return curation.scrub_pii(
+        d.select("doc_id", u.alias("text"))
+    ).select("doc_id", "pii_email", "pii_ipv4", "pii_phone", "pii_hits",
+             F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"))
+
+
+def _q_sample_mix(spark, sf):
+    """Training-mix assembly: downsample languages to a 50/30/20 target
+    (en/zh/de); other languages drop. Deterministic hash gate, map-side
+    after one tiny count agg — the corpus never shuffles."""
+    d = _t(spark, sf, "documents")
+    out = curation.sample_to_mix(
+        d.select("doc_id", "lang"), "lang",
+        {"en": 0.5, "zh": 0.3, "de": 0.2},
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
@@ -904,6 +933,8 @@ _RAW_QUERIES = {
         "token_budget_pack": _q_token_budget_pack,
         "host_skew": _q_host_skew,
         "host_cap": _q_host_cap,
+        "pii_scrub": _q_pii_scrub,
+        "sample_mix": _q_sample_mix,
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
@@ -1836,6 +1867,66 @@ def oracle_sql() -> dict[str, str]:
               FROM u
             )
             SELECT doc_id FROM r WHERE rk <= 25
+        """,
+        "pii_scrub": r"""
+            -- twin of curation.scrub_pii: same dialect-common patterns,
+            -- counts on the progressively-scrubbed text, global replace
+            WITH t0 AS (
+              SELECT doc_id,
+                text || ' contact: user' || doc_id || '@example.com'
+                     || ' or 10.0.' || (doc_id % 256) || '.7 tel +1 555 01'
+                     || (doc_id % 90 + 10) AS s
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(s,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+                regexp_replace(s,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<PII>', 'g') AS s
+              FROM t0
+            ), s2 AS (
+              SELECT doc_id, pii_email,
+                len(regexp_extract_all(s,
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS pii_ipv4,
+                regexp_replace(s, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                  '<PII>', 'g') AS s
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, pii_email, pii_ipv4,
+                len(regexp_extract_all(s,
+                  '\+?\d[\d\s().-]{7,}\d')) AS pii_phone,
+                regexp_replace(s, '\+?\d[\d\s().-]{7,}\d',
+                  '<PII>', 'g') AS s
+              FROM s2
+            )
+            SELECT doc_id,
+              CAST(pii_email AS INT) AS pii_email,
+              CAST(pii_ipv4 AS INT) AS pii_ipv4,
+              CAST(pii_phone AS INT) AS pii_phone,
+              CAST(pii_email + pii_ipv4 + pii_phone AS BIGINT) AS pii_hits,
+              md5(s) AS clean_md5
+            FROM s3
+        """,
+        "sample_mix": """
+            -- twin of curation.sample_to_mix: total = min(n/w), keep-rate
+            -- w*total/n, deterministic md5-fraction gate (same op order)
+            WITH w AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                          WHEN 'zh' THEN CAST(0.3 AS DOUBLE)
+                          WHEN 'de' THEN CAST(0.2 AS DOUBLE) END AS wt
+              FROM documents GROUP BY lang
+            ), tot AS (
+              SELECT min(n / wt) AS total FROM w WHERE wt IS NOT NULL
+            ), r AS (
+              SELECT lang, (wt * total / n) AS rate
+              FROM w, tot WHERE wt IS NOT NULL
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE CAST(('0x' || substr(md5('mix|' || d.doc_id), 1, 8))::BIGINT
+                       AS DOUBLE) / 4294967296.0 < r.rate
         """,
         "multimodal_frames": """
             WITH meta AS (

@@ -377,6 +377,102 @@ def cap_per_host(
     )
 
 
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB twin): no lookarounds, ASCII classes, literal chars in classes.
+# Order matters — each pattern counts and replaces on the text as left
+# by the previous one (emails are scrubbed before phone-ish digit runs
+# can eat their local parts).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    token: str = "<PII>",
+) -> DataFrame:
+    """Mask common PII shapes (emails, IPv4s, phone-like digit runs) with
+    a replacement token — the standard pre-training scrub pass. Pure
+    codegen (sequential regexp_replace chain, no Python); per-category
+    hit counts ride along so the pipeline can audit scrub rates by
+    source. Counts are taken on the progressively-scrubbed text, exactly
+    mirroring what the replacement chain sees."""
+    d = docs
+    cur = F.col(text_col)
+    staged = []
+    for name, pat in PII_PATTERNS:
+        d = d.withColumn(f"_pii_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+        staged.append(name)
+    d = d.withColumn(out_col, cur)
+    total = None
+    for name in staged:
+        d = d.withColumnRenamed(f"_pii_{name}", f"pii_{name}")
+        c = F.col(f"pii_{name}")
+        total = c if total is None else total + c
+    return d.withColumn("pii_hits", total.cast("bigint"))
+
+
+def sample_to_mix(
+    docs: DataFrame,
+    group_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Downsample groups to a target mixing distribution (training-mix
+    assembly: "30% code, 60% web, 10% books"). The largest total that
+    needs NO upsampling is total = min_g(n_g / w_g); each group then
+    keeps ~w_g·total docs via a deterministic hash gate — map-side after
+    one tiny count agg, so the corpus itself never shuffles and there is
+    no per-group window (a low-cardinality group key would serialize a
+    window into one partition per group at crawl scale).
+
+    Deterministic and engine-portable: keep iff the first-8-hex-chars
+    md5 fraction of (seed|id) < keep-rate. Counts per group are
+    therefore approximate (binomial around w_g·total) but the kept SET
+    is exactly reproducible; groups absent from ``weights`` are dropped."""
+    counts = (
+        docs.groupBy(group_col).agg(F.count("*").alias("_n"))
+    )
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    rates = counts.withColumn(
+        "_w", w_map[F.col(group_col)]
+    ).filter(F.col("_w").isNotNull())
+    # total = min over groups of n/w; evaluated once, broadcast back
+    total = rates.agg(
+        F.min(F.col("_n") / F.col("_w")).alias("_total")
+    )
+    rates = rates.crossJoin(F.broadcast(total)).select(
+        group_col,
+        (F.col("_w") * F.col("_total") / F.col("_n")).alias("_rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+                    .cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2 ** 32))
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 20,

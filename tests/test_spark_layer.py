@@ -667,6 +667,50 @@ class TestCuration:
         assert (1, 10) in idx and (6, 12) in idx and (3, 14) in idx
         assert (5, 11) in idx and (2, 10) in idx
 
+    def test_scrub_pii_counts_and_masking(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (0, "mail a@b.com and c.d@e.org, ip 10.1.2.3, tel +1 555 0123 99"),
+            (1, "no pii here at all"),
+            (2, "ip-ish 999.1.1.1 still matches the conservative class"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in curation.scrub_pii(df).collect()}
+        assert out[0]["pii_email"] == 2 and out[0]["pii_ipv4"] == 1
+        assert out[0]["pii_phone"] == 1 and out[0]["pii_hits"] == 4
+        assert "a@b.com" not in out[0]["clean_text"]
+        assert "10.1.2.3" not in out[0]["clean_text"]
+        assert out[0]["clean_text"].count("<PII>") == 4
+        assert out[1]["pii_hits"] == 0
+        assert out[1]["clean_text"] == "no pii here at all"
+        assert out[2]["pii_ipv4"] == 1  # documented: purely syntactic
+
+    def test_sample_to_mix_deterministic(self, spark):
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [(i, "en" if i % 10 < 6 else ("zh" if i % 10 < 9 else "xx"))
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = curation.sample_to_mix(df, "lang", {"en": 0.7, "zh": 0.3})
+        got = out.collect()
+        langs = {r["lang"] for r in got}
+        assert "xx" not in langs  # unweighted groups drop
+        # binding group (min n/w): en has 600/0.7 < 300/0.3 -> rate 1.0,
+        # so EVERY en doc is kept; zh downsampled toward 0.3/0.7 * 600
+        n_en = sum(1 for r in got if r["lang"] == "en")
+        n_zh = sum(1 for r in got if r["lang"] == "zh")
+        assert n_en == 600
+        assert 180 <= n_zh <= 330  # binomial around 257
+        ids1 = sorted(r["doc_id"] for r in got)
+        ids2 = sorted(
+            r["doc_id"]
+            for r in curation.sample_to_mix(
+                df.repartition(17), "lang", {"en": 0.7, "zh": 0.3}
+            ).collect()
+        )
+        assert ids1 == ids2  # partitioning-invariant kept set
+
     def test_cap_per_host_deterministic(self, spark):
         # r5: per-host cap keeps EXACTLY max_docs on a hot host, the
         # whole tail elsewhere, and the kept subset is identical across
