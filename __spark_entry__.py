@@ -839,6 +839,54 @@ def _q_sample_mix(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def _q_line_dedup(spark, sf):
+    """Cross-document boilerplate-line removal (RefinedWeb/CCNet pass):
+    documents get deterministic synthetic chrome appended (a corpus-wide
+    newsletter line, a per-source copyright footer, a unique per-doc
+    footer) so known df strata exist; lines in more than max_df=3
+    distinct docs are dropped from every doc, the rest reassembled in
+    order."""
+    d = _t(spark, sf, "documents")
+    multi = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("copyright "), F.col("source")),
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" footer")),
+    )
+    out = curation.drop_common_lines(
+        d.select("doc_id", multi.alias("text")), max_df=3
+    )
+    return out.select(
+        "doc_id", "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+def _q_pagerank(spark, sf):
+    """Host-authority ranking: fixed-3-iteration integer-exact PageRank
+    over a deterministic synthetic host link graph derived from events
+    (src = user_id mod 101, dst = md5(event_id) mod 101). Each round is
+    one shuffle join on src + one map-side-combined agg on dst."""
+    from go_boilerpipe_spark.operators import graph
+
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        (F.col("user_id") % 101).cast("bigint").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string").cast("binary")),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % 101
+        ).alias("dst"),
+    )
+    return graph.pagerank(edges, iters=3)
+
+
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
@@ -935,6 +983,8 @@ _RAW_QUERIES = {
         "host_cap": _q_host_cap,
         "pii_scrub": _q_pii_scrub,
         "sample_mix": _q_sample_mix,
+        "line_dedup": _q_line_dedup,
+        "pagerank_hosts": _q_pagerank,
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
@@ -1927,6 +1977,92 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE CAST(('0x' || substr(md5('mix|' || d.doc_id), 1, 8))::BIGINT
                        AS DOUBLE) / 4294967296.0 < r.rate
+        """,
+        "line_dedup": """
+            -- twin of curation.drop_common_lines over the synthetic
+            -- multi-line docs: same trim, same empty-line skip, df on
+            -- distinct (doc, line), drop df > 3 everywhere, reassemble
+            -- in original order
+            WITH t0 AS (
+              SELECT doc_id,
+                text || chr(10) || 'subscribe to our newsletter'
+                     || chr(10) || 'copyright ' || source
+                     || chr(10) || 'doc ' || doc_id || ' footer' AS text
+              FROM documents
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS parts FROM t0
+            ), l AS (
+              SELECT doc_id, u['pos'] AS pos, u['t'] AS t FROM (
+                SELECT doc_id,
+                  unnest([{'pos': i, 't': trim(parts[i])}
+                          FOR i IN generate_series(1, len(parts))]) AS u
+                FROM split
+              ) WHERE u['t'] <> ''
+            ), dfs AS (
+              SELECT t, count(DISTINCT doc_id) AS df FROM l GROUP BY t
+            ), kept AS (
+              SELECT l.doc_id, l.pos, l.t
+              FROM l JOIN dfs ON l.t = dfs.t WHERE dfs.df <= 3
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(t, chr(10) ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY doc_id
+        """,
+        "pagerank_hosts": """
+            -- twin of graph.pagerank (3 unrolled integer-exact rounds,
+            -- damping 85/100, scale 10^12, dangling mass dropped) over
+            -- the same synthetic host graph; // is BIGINT floor division
+            -- = Spark's `div` on the all-positive domain
+            WITH e AS (
+              SELECT DISTINCT
+                CAST(user_id % 101 AS BIGINT) AS src,
+                CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                     ::BIGINT % 101 AS BIGINT) AS dst
+              FROM events
+            ), e2 AS (
+              SELECT src, dst FROM e WHERE src != dst
+            ), nodes AS (
+              SELECT src AS node FROM e2 UNION SELECT dst FROM e2
+            ), nn AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+            ), od AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS odeg
+              FROM e2 GROUP BY src
+            ), r0 AS (
+              SELECT node, CAST(1000000000000 AS BIGINT) // nn.n AS rank
+              FROM nodes, nn
+            ), c1 AS (
+              SELECT e2.dst AS node, sum(r0.rank // od.odeg) AS cin
+              FROM r0 JOIN e2 ON r0.node = e2.src
+                      JOIN od ON e2.src = od.src
+              GROUP BY e2.dst
+            ), r1 AS (
+              SELECT nodes.node,
+                CAST((150000000000 // nn.n)
+                     + (coalesce(c1.cin, 0) * 85) // 100 AS BIGINT) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+            ), c2 AS (
+              SELECT e2.dst AS node, sum(r1.rank // od.odeg) AS cin
+              FROM r1 JOIN e2 ON r1.node = e2.src
+                      JOIN od ON e2.src = od.src
+              GROUP BY e2.dst
+            ), r2 AS (
+              SELECT nodes.node,
+                CAST((150000000000 // nn.n)
+                     + (coalesce(c2.cin, 0) * 85) // 100 AS BIGINT) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+            ), c3 AS (
+              SELECT e2.dst AS node, sum(r2.rank // od.odeg) AS cin
+              FROM r2 JOIN e2 ON r2.node = e2.src
+                      JOIN od ON e2.src = od.src
+              GROUP BY e2.dst
+            ), r3 AS (
+              SELECT nodes.node,
+                CAST((150000000000 // nn.n)
+                     + (coalesce(c3.cin, 0) * 85) // 100 AS BIGINT) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+            )
+            SELECT node, rank FROM r3
         """,
         "multimodal_frames": """
             WITH meta AS (

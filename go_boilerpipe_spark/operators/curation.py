@@ -473,6 +473,63 @@ def sample_to_mix(
     )
 
 
+def drop_common_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-document boilerplate-line removal (the RefinedWeb / CCNet
+    pre-dedup pass): a line whose trimmed form appears in more than
+    ``max_df`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, copyright footers) and is dropped from every document;
+    surviving lines are reassembled in original order.
+
+    This is different from :func:`segment_dedup` (which keeps the FIRST
+    occurrence of a duplicated segment): a line over the df threshold is
+    removed from ALL documents including the first — site-wide chrome is
+    noise everywhere, not content anywhere.
+
+    Plan shape at crawl scale: posexplode (map-side) → distinct
+    (doc, line_hash) pre-aggregation → df count on the line hash (uniform
+    key, map-side partial agg) → shuffle join lines⋈df on line_hash →
+    groupBy doc reassembly (sort_array over (pos, line) structs — the
+    per-doc line list is bounded by document size, not corpus size).
+    Two shuffles on uniform hashes plus the reassembly shuffle on doc id;
+    no window over a skewed key, no driver collection. Empty-after-trim
+    lines are never counted against the threshold and are dropped from
+    the output (they carry no content and would otherwise all collide on
+    one hash = one hot reduce key at 10^12 docs)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_t", F.trim(F.col("_line"))).filter(F.col("_t") != "")
+    lines = lines.withColumn("_h", F.md5(F.col("_t").cast("binary")))
+    dfs = (
+        lines.select(id_col, "_h").distinct()
+        .groupBy("_h").agg(F.count("*").alias("_df"))
+    )
+    kept = (
+        lines.join(dfs, "_h")
+        .filter(F.col("_df") <= max_df)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_pos", F.col("_t").alias("l")))
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias(out_col),
+        )
+    )
+    return kept
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 20,

@@ -1,0 +1,106 @@
+"""Host-graph operators: join-based fixed-iteration PageRank.
+
+Crawl curation ranks hosts by link authority (seed selection, crawl-
+frontier prioritization, spam demotion). Spark-first shape: PageRank as
+k unrolled join+agg rounds over an edges DataFrame — no GraphX, no RDDs,
+every round is one shuffle join on the (uniform) src key plus one
+map-side-combined aggregation on dst. AQE handles skewed hub nodes.
+
+Integer-exact doctrine (see doc_token_rarity): ranks are BIGINT scaled
+by RANK_SCALE and contributions use integer floor-division, so every
+engine computes bit-identical results and the DuckDB oracle can
+hash-match. Floor truncation leaks a bounded sub-ulp of mass per round;
+dangling-node mass is dropped by design (documented below) — the output
+is a deterministic relative authority score, not a normalized
+probability distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list, integer-exact.
+
+    rank_0(v)   = RANK_SCALE / N                     (integer division)
+    contrib(u)  = rank_i(u) // outdeg(u)             (per out-edge)
+    rank_{i+1}(v) = (1-d)*RANK_SCALE/N + d * sum(contrib over in-edges)
+                  with d applied as ``* damping_num // damping_den``.
+
+    Dangling nodes (no out-edges) contribute nothing — their mass leaks
+    instead of being redistributed. That keeps the plan at exactly one
+    join + one agg per round (no per-round scalar collect/cross-join for
+    the dangling sum) and the ordering of hosts, which is what curation
+    consumes, is unaffected for connected crawl graphs.
+
+    Scale: nodes/edges never leave the cluster; k rounds = k shuffle
+    joins on src (uniform host-hash key) + k aggs on dst with map-side
+    partial aggregation. Self-loops and duplicate edges are dropped so
+    outdeg matches the contribution fan-out exactly.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N and the per-node base rank are scalars: one tiny agg, broadcast
+    # back via crossJoin (a 1-row build side — Spark broadcasts it).
+    n_total = nodes.agg(F.count("*").alias("_n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_outdeg"))
+
+    # All divisions are integer `div` (floor toward zero on positives) —
+    # the same operator as DuckDB's `//` — never double-divide-then-cast,
+    # which rounds differently once operands near 2^53.
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node",
+        F.expr(f"CAST({RANK_SCALE} AS BIGINT) div _n").alias("rank"),
+        F.col("_n"),
+    )
+    base_scaled = RANK_SCALE * (damping_den - damping_num) // damping_den
+    base = F.expr(f"CAST({base_scaled} AS BIGINT) div _n")
+
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div _outdeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            ranks.select("node", "_n")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"(coalesce(_in, CAST(0 AS BIGINT)) * {damping_num})"
+                        f" div {damping_den}"
+                    )
+                ).cast("bigint").alias("rank"),
+                "_n",
+            )
+        )
+    return ranks.select("node", "rank")

@@ -741,6 +741,63 @@ class TestCuration:
         )
         assert ids1 == ids2
 
+    def test_drop_common_lines(self, spark):
+        # r5: cross-document boilerplate-line removal — a line over the
+        # df threshold is dropped from EVERY doc (unlike segment_dedup's
+        # keep-first), empties never count, order is positional, and a
+        # doc whose every line is boilerplate vanishes.
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (1, "common\nunique one\n\n  common  "),
+            (2, "common\nunique two"),
+            (3, "common\nunique three"),
+            (4, "common"),
+            (5, "z line\na line"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r
+               for r in curation.drop_common_lines(df, max_df=2).collect()}
+        assert 4 not in out  # all-boilerplate doc disappears
+        assert out[1]["clean_text"] == "unique one"  # BOTH commons dropped
+        assert out[1]["n_kept"] == 1
+        assert out[2]["clean_text"] == "unique two"
+        assert out[5]["clean_text"] == "z line\na line"  # positional order
+        # partitioning invariance of the reassembled text
+        out2 = {r["doc_id"]: r["clean_text"]
+                for r in curation.drop_common_lines(
+                    df.repartition(7), max_df=2).collect()}
+        assert out2 == {k: v["clean_text"] for k, v in out.items()}
+
+    def test_pagerank_integer_exact(self, spark):
+        # r5: 1 iteration over A->B, A->C, B->C, hand-computed at scale
+        # 10^12 with damping 85/100: base = 150e9//3 = 50e9;
+        # contrib(B) = (1e12//3)//2 = 166666666666 -> rank(B) =
+        # 50e9 + (166666666666*85)//100 = 191666666666;
+        # contrib(C) = 166666666666 + 333333333333 -> rank(C) =
+        # 50e9 + (499999999999*85)//100 = 474999999999.
+        from go_boilerpipe_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("A", "B"), ("A", "C"), ("B", "C"),
+             ("A", "B"),  # duplicate edge: dropped
+             ("C", "C")],  # self-loop: dropped
+            "src string, dst string",
+        )
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(edges, iters=1).collect()}
+        assert got == {"A": 50000000000, "B": 191666666666,
+                       "C": 474999999999}
+        # more iterations keep the authority ordering and determinism
+        # across partitionings
+        r3a = {r["node"]: r["rank"]
+               for r in graph.pagerank(edges, iters=3).collect()}
+        r3b = {r["node"]: r["rank"]
+               for r in graph.pagerank(
+                   edges.repartition(5), iters=3).collect()}
+        assert r3a == r3b
+        assert r3a["C"] > r3a["B"] > r3a["A"]
+
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
 
