@@ -910,6 +910,24 @@ def _q_pdf_parse(spark, sf):
     return parse_pdfs(d)
 
 
+def _q_extract_links(spark, sf):
+    # link-graph construction through the queries surface (rows-only
+    # check: per-doc HTML tokenization is not ANSI-SQL-expressible; the
+    # kernel's unit tests are its gate). Per-page outlink stats over the
+    # synthesized crawl corpus.
+    from go_boilerpipe_spark.operators.links import extract_links_df
+    from go_boilerpipe_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 35, partitions=4)
+    links = extract_links_df(pages, parallelism=8)
+    host = F.try_parse_url(F.col("resolved"), F.lit("HOST"))
+    return links.groupBy("url").agg(
+        F.count("*").alias("n_links"),
+        F.count(F.col("resolved")).alias("n_resolved"),
+        F.count_distinct(host).alias("n_hosts"),
+    )
+
+
 def _q_extract_golden(spark, sf):
     # flagship through the queries surface (rows-only check: the per-doc
     # SAX extraction is not ANSI-SQL-expressible; pytest is its gate)
@@ -988,6 +1006,7 @@ _RAW_QUERIES = {
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
+        "extract_links": _q_extract_links,
         "extract_golden": _q_extract_golden,
     }
 

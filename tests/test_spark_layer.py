@@ -153,6 +153,45 @@ class TestExtractOperator:
         assert errs == 7
 
 
+class TestExtractLinks:
+    def test_links_through_spark(self, spark, corpus):
+        from go_boilerpipe_spark.operators.links import extract_links_df
+
+        pages = spark.read.parquet(corpus)
+        links = extract_links_df(pages, parallelism=8)
+        per_page = {
+            r["url"]: r["n"]
+            for r in links.groupBy("url").agg(F.count("*").alias("n")).collect()
+        }
+        # every replica of golden doc 1 carries its 128 anchors
+        doc1 = [u for u in per_page if "lease-no-rent" in u]
+        assert doc1 and all(per_page[u] == 128 for u in doc1)
+        # null-html rows contribute no links and kill no tasks
+        assert links.filter(F.col("href").isNull()).count() == 0
+        # resolved links parse to hosts JVM-side
+        hosts = (
+            links.select(
+                F.try_parse_url("resolved", F.lit("HOST")).alias("h")
+            ).filter(F.col("h").isNotNull()).distinct().count()
+        )
+        assert hosts > 1
+
+    def test_link_graph_feeds_pagerank(self, spark, corpus):
+        # composition: pages -> edges -> pagerank, all DataFrame algebra
+        from go_boilerpipe_spark.operators import graph
+        from go_boilerpipe_spark.operators.links import extract_links_df
+
+        pages = spark.read.parquet(corpus)
+        links = extract_links_df(pages, parallelism=8)
+        edges = links.select(
+            F.try_parse_url("url", F.lit("HOST")).alias("src"),
+            F.try_parse_url("resolved", F.lit("HOST")).alias("dst"),
+        ).filter(F.col("dst").isNotNull())
+        ranks = graph.pagerank(edges, iters=2).collect()
+        assert len(ranks) > 1
+        assert all(r["rank"] > 0 for r in ranks)
+
+
 class TestExtractJob:
     def test_run_and_resume(self, spark, corpus, tmp_path):
         sink = str(tmp_path / "sink")
