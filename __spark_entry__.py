@@ -887,6 +887,16 @@ def _q_pagerank(spark, sf):
     return graph.pagerank(edges, iters=3)
 
 
+def _q_snapshot_delta(spark, sf):
+    """Monthly-crawl incremental dedup: docs are split into an 'old'
+    snapshot (doc_id % 3 != 0) and a 'new' one (doc_id % 3 == 0); the
+    delta keeps new docs whose exact text is absent from old."""
+    d = _t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    return curation.incremental_new_docs(new, old).select("doc_id", "lang")
+
+
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
@@ -1003,6 +1013,7 @@ _RAW_QUERIES = {
         "sample_mix": _q_sample_mix,
         "line_dedup": _q_line_dedup,
         "pagerank_hosts": _q_pagerank,
+        "snapshot_delta": _q_snapshot_delta,
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
@@ -1996,6 +2007,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE CAST(('0x' || substr(md5('mix|' || d.doc_id), 1, 8))::BIGINT
                        AS DOUBLE) / 4294967296.0 < r.rate
+        """,
+        "snapshot_delta": """
+            -- twin of curation.incremental_new_docs: new (doc_id%3=0)
+            -- anti-joined on md5(text) against distinct old hashes
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            WHERE d.doc_id % 3 = 0
+              AND md5(d.text) NOT IN (
+                SELECT DISTINCT md5(text) FROM documents
+                WHERE doc_id % 3 != 0
+              )
         """,
         "line_dedup": """
             -- twin of curation.drop_common_lines over the synthetic

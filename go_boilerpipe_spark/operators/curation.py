@@ -530,6 +530,35 @@ def drop_common_lines(
     return kept
 
 
+def incremental_new_docs(
+    new: DataFrame,
+    old: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot incremental dedup (the monthly-crawl delta): keep
+    only the ``new`` docs whose exact text does not already exist in
+    ``old``. Distinct from :func:`exact_dedup`'s within-corpus
+    canonicalization — here the whole old corpus is a membership set and
+    new docs are NOT deduped against each other (both snapshots keep
+    their own intra-corpus semantics).
+
+    Plan: LEFT ANTI join on md5(text). At 10^12 old docs the build side
+    never fits a broadcast, so this is a shuffle anti-join on a uniform
+    hash key — both sides partition-prune to one 16-byte column, AQE
+    picks the join strategy, and the old side reduces to distinct hashes
+    before the join (one map-side-combined agg) so the anti-join probe
+    set is |unique old texts|, not |old rows|."""
+    old_hashes = (
+        old.select(F.md5(F.col(text_col).cast("binary")).alias("_h"))
+        .distinct()
+    )
+    return new.join(
+        old_hashes,
+        F.md5(F.col(text_col).cast("binary")) == F.col("_h"),
+        "left_anti",
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 20,

@@ -837,6 +837,25 @@ class TestCuration:
         assert r3a == r3b
         assert r3a["C"] > r3a["B"] > r3a["A"]
 
+    def test_incremental_new_docs(self, spark):
+        # r5: cross-snapshot delta — membership against old, but new
+        # docs are NOT deduped against each other
+        from go_boilerpipe_spark.operators import curation
+
+        old = spark.createDataFrame(
+            [(1, "seen"), (2, "also seen"), (3, "seen")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, "seen"), (11, "fresh"), (12, "fresh"), (13, "also seen")],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in curation.incremental_new_docs(new, old).collect()
+        )
+        assert kept == [11, 12]  # both 'fresh' copies survive
+
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
 
