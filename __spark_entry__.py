@@ -938,6 +938,36 @@ def _q_extract_links(spark, sf):
     )
 
 
+def _q_web_pipeline(spark, sf):
+    # flagship end-to-end composition (rows-only: extraction is not
+    # SQL-expressible): crawl pages → article extraction (C kernel, one
+    # Arrow stage, null-html rows become error rows) → exact dedup on
+    # extracted content (replicas collapse) → quality gate → PII scrub →
+    # per-lang corpus stats. The shape a 100-TB pages→training-corpus
+    # run has: every stage is the already-audited operator, chained.
+    from go_boilerpipe_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(
+        spark, 60, skew=True, null_html_every=20, partitions=4
+    )
+    extracted = extract_articles(pages, parallelism=8).filter(
+        F.col("parse_error").isNull() & (F.col("content") != "")
+    )
+    flags = dedup.exact_dedup(extracted, id_col="url", text_col="content")
+    uniq = extracted.join(
+        flags.filter(~F.col("is_duplicate")).select("url"), "url"
+    )
+    scrubbed = curation.scrub_pii(uniq, text_col="content")
+    scored = scrubbed.withColumn(
+        "quality", textstats.quality_score(F.col("clean_text"))
+    ).filter(F.col("quality") >= 0.5)
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("clean_text")).cast("bigint").alias("total_chars"),
+        F.sum("pii_hits").cast("bigint").alias("total_pii_hits"),
+    )
+
+
 def _q_extract_golden(spark, sf):
     # flagship through the queries surface (rows-only check: the per-doc
     # SAX extraction is not ANSI-SQL-expressible; pytest is its gate)
@@ -1018,6 +1048,7 @@ _RAW_QUERIES = {
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
         "extract_links": _q_extract_links,
+        "web_pipeline": _q_web_pipeline,
         "extract_golden": _q_extract_golden,
     }
 
