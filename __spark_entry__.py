@@ -897,6 +897,42 @@ def _q_snapshot_delta(spark, sf):
     return curation.incremental_new_docs(new, old).select("doc_id", "lang")
 
 
+def _q_url_rules(spark, sf):
+    """Robots-style allow/deny filtering over the synthetic host layout:
+    longest-prefix rule wins, ties toward allow, no-rule urls pass.
+    Includes a deny-all-with-longer-allow override (hot0) and an exact
+    tie broken toward allow (hot1 /p/3)."""
+    d = _t(spark, sf, "documents")
+    host = F.concat(
+        F.when(
+            F.col("doc_id") % 4 < 2,
+            F.concat(F.lit("hot"), (F.col("doc_id") % 2).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        ),
+        F.lit(".example.com"),
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("hot0.example.com", "/p/", False),
+            ("hot0.example.com", "/p/1", True),
+            ("hot1.example.com", "/p/2", False),
+            ("hot1.example.com", "/p/3", True),
+            ("hot1.example.com", "/p/3", False),
+            ("h7.example.com", "/p/", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    return curation.url_rules_filter(u, rules).select("doc_id")
+
+
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
@@ -1044,6 +1080,7 @@ _RAW_QUERIES = {
         "line_dedup": _q_line_dedup,
         "pagerank_hosts": _q_pagerank,
         "snapshot_delta": _q_snapshot_delta,
+        "url_rules": _q_url_rules,
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
         "blocklist_filter": _q_blocklist,
@@ -2038,6 +2075,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE CAST(('0x' || substr(md5('mix|' || d.doc_id), 1, 8))::BIGINT
                        AS DOUBLE) / 4294967296.0 < r.rate
+        """,
+        "url_rules": """
+            -- twin of curation.url_rules_filter: longest matching
+            -- prefix wins, ties toward allow, no-rule urls pass
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 < 2
+                     THEN 'hot' || CAST(doc_id % 2 AS VARCHAR)
+                     ELSE 'h' || CAST(doc_id % 97 AS VARCHAR)
+                END || '.example.com' AS host,
+                '/p/' || CAST(doc_id AS VARCHAR) AS path
+              FROM documents
+            ), rules(host, path_prefix, allow) AS (
+              SELECT * FROM (VALUES
+                ('hot0.example.com', '/p/', false),
+                ('hot0.example.com', '/p/1', true),
+                ('hot1.example.com', '/p/2', false),
+                ('hot1.example.com', '/p/3', true),
+                ('hot1.example.com', '/p/3', false),
+                ('h7.example.com', '/p/', false))
+            ), m AS (
+              SELECT u.doc_id, r.allow,
+                row_number() OVER (
+                  PARTITION BY u.doc_id
+                  ORDER BY length(r.path_prefix) DESC, r.allow DESC
+                ) AS rn
+              FROM u JOIN rules r
+                ON u.host = r.host
+               AND starts_with(u.path, r.path_prefix)
+            ), denied AS (
+              SELECT doc_id FROM m WHERE rn = 1 AND NOT allow
+            )
+            SELECT doc_id FROM u
+            WHERE doc_id NOT IN (SELECT doc_id FROM denied)
         """,
         "snapshot_delta": """
             -- twin of curation.incremental_new_docs: new (doc_id%3=0)

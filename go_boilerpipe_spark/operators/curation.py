@@ -530,6 +530,54 @@ def drop_common_lines(
     return kept
 
 
+def url_rules_filter(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-style allow/deny URL filtering: ``rules`` has
+    (host, path_prefix, allow); for each url every same-host rule whose
+    path_prefix is a prefix of the url path matches, the LONGEST match
+    wins with ties broken toward allow (the Google robots.txt rule), and
+    urls matching no rule pass.
+
+    Plan at crawl scale: the rules table is small (robots of the crawled
+    hosts) → broadcast join on host + starts_with; the winner per url is
+    a groupBy on the UNIQUE url key (partial-aggregable max_by over the
+    (prefix_len, allow) struct — no window, no skew: every url is its
+    own group). Only urls that matched at least one rule reach the
+    decision agg; the final step anti-joins the denied set, so
+    non-matching urls never shuffle at all."""
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    )
+    probes = docs.select(
+        F.col(url_col).alias("_u"),
+        F.try_parse_url(F.col(url_col), F.lit("HOST")).alias("_host"),
+        path.alias("_path"),
+    )
+    matched = probes.join(
+        F.broadcast(rules),
+        (F.col("_host") == rules["host"])
+        & F.col("_path").startswith(rules["path_prefix"]),
+    )
+    denied = (
+        matched.groupBy("_u")
+        .agg(
+            F.max_by(
+                F.col("allow"),
+                F.struct(
+                    F.length("path_prefix").alias("l"),
+                    F.col("allow").cast("int").alias("a"),
+                ),
+            ).alias("_keep")
+        )
+        .filter(~F.col("_keep"))
+        .select(F.col("_u").alias(url_col))
+    )
+    return docs.join(denied, url_col, "left_anti")
+
+
 def incremental_new_docs(
     new: DataFrame,
     old: DataFrame,

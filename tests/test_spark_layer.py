@@ -837,6 +837,37 @@ class TestCuration:
         assert r3a == r3b
         assert r3a["C"] > r3a["B"] > r3a["A"]
 
+    def test_url_rules_filter(self, spark):
+        # r5: robots-style longest-prefix allow/deny — deny-all with a
+        # longer allow carve-out, exact tie toward allow, no-rule pass
+        from go_boilerpipe_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [
+                (1, "https://a.com/private/x"),   # denied (/private/)
+                (2, "https://a.com/private/ok/x"),  # allowed (longer)
+                (3, "https://a.com/pub"),          # no rule -> pass
+                (4, "https://b.com/t"),            # tie -> allow
+                (5, "https://c.com/private/x"),    # other host -> pass
+                (6, "https://a.com"),              # empty path -> '/' rule?
+            ],
+            "doc_id long, url string",
+        )
+        rules = spark.createDataFrame(
+            [
+                ("a.com", "/private/", False),
+                ("a.com", "/private/ok/", True),
+                ("b.com", "/t", True),
+                ("b.com", "/t", False),
+            ],
+            "host string, path_prefix string, allow boolean",
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in curation.url_rules_filter(docs, rules).collect()
+        )
+        assert kept == [2, 3, 4, 5, 6]
+
     def test_incremental_new_docs(self, spark):
         # r5: cross-snapshot delta — membership against old, but new
         # docs are NOT deduped against each other
@@ -855,6 +886,78 @@ class TestCuration:
             for r in curation.incremental_new_docs(new, old).collect()
         )
         assert kept == [11, 12]  # both 'fresh' copies survive
+
+    def test_drop_common_lines_differential(self, spark):
+        # seeded random corpora vs a pure-Python reference of the
+        # documented semantics (trim, skip empties, df over distinct
+        # docs, drop > max_df everywhere, positional reassembly)
+        import random
+
+        from go_boilerpipe_spark.operators import curation
+
+        rng = random.Random(20260817)
+        vocab = [f"line {i}" for i in range(12)] + ["", "  ", "\t"]
+        rows = [
+            (d, "\n".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(0, 9))))
+            for d in range(60)
+        ]
+        for max_df in (1, 3, 10):
+            # pure reference
+            per_doc = {}
+            df_count = {}
+            for d, text in rows:
+                lines = [(p, t.strip()) for p, t in
+                         enumerate(text.split("\n")) if t.strip()]
+                per_doc[d] = lines
+                for t in {t for _p, t in lines}:
+                    df_count[t] = df_count.get(t, 0) + 1
+            expected = {}
+            for d, lines in per_doc.items():
+                kept = [t for _p, t in lines if df_count[t] <= max_df]
+                if kept:
+                    expected[d] = (len(kept), "\n".join(kept))
+            got = {
+                r["doc_id"]: (r["n_kept"], r["clean_text"])
+                for r in curation.drop_common_lines(
+                    spark.createDataFrame(rows, "doc_id long, text string"),
+                    max_df=max_df,
+                ).collect()
+            }
+            assert got == expected, f"max_df={max_df}"
+
+    def test_pagerank_differential(self, spark):
+        # seeded random digraph vs a pure-Python replica of the
+        # integer-exact recurrence (same div/floor semantics)
+        import random
+
+        from go_boilerpipe_spark.operators import graph
+        from go_boilerpipe_spark.operators.graph import RANK_SCALE
+
+        rng = random.Random(7)
+        edges = {(rng.randrange(50), rng.randrange(50)) for _ in range(220)}
+        edges = [(s, d) for s, d in edges if s != d]
+
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        outdeg = {}
+        for s, _d in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        rank = {v: RANK_SCALE // n for v in nodes}
+        base = (RANK_SCALE * 15 // 100) // n
+        for _ in range(3):
+            cin = {}
+            for s, d in edges:
+                cin[d] = cin.get(d, 0) + rank[s] // outdeg[s]
+            rank = {v: base + (cin.get(v, 0) * 85) // 100 for v in nodes}
+
+        got = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(
+                spark.createDataFrame(edges, "src long, dst long"), iters=3
+            ).collect()
+        }
+        assert got == rank
 
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
