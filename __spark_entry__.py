@@ -863,6 +863,36 @@ def _q_line_dedup(spark, sf):
     )
 
 
+def _q_line_dedup_scoped(spark, sf):
+    """Scoped (RefinedWeb) variant of line_dedup: document frequency is
+    counted within each source (the host analog), so per-source chrome
+    drops while cross-source coincidences survive. Docs with
+    doc_id % 29 == 0 carry a 'network wide notice' line whose GLOBAL df
+    exceeds the threshold but whose per-source df does not — it survives
+    here and would not under the corpus-wide query, pinning that the two
+    scopings genuinely differ."""
+    d = _t(spark, sf, "documents")
+    multi = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("copyright "), F.col("source")),
+        F.when(
+            F.col("doc_id") % 29 == 0, F.lit("network wide notice")
+        ),  # concat_ws skips NULLs
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" footer")),
+    )
+    out = curation.drop_common_lines(
+        d.select("doc_id", "source", multi.alias("text")),
+        max_df=3,
+        scope_col="source",
+    )
+    return out.select(
+        "doc_id", "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 def _q_pagerank(spark, sf):
     """Host-authority ranking: fixed-3-iteration integer-exact PageRank
     over a deterministic synthetic host link graph derived from events
@@ -1078,6 +1108,7 @@ _RAW_QUERIES = {
         "pii_scrub": _q_pii_scrub,
         "sample_mix": _q_sample_mix,
         "line_dedup": _q_line_dedup,
+        "line_dedup_scoped": _q_line_dedup_scoped,
         "pagerank_hosts": _q_pagerank,
         "snapshot_delta": _q_snapshot_delta,
         "url_rules": _q_url_rules,
@@ -2146,6 +2177,40 @@ def oracle_sql() -> dict[str, str]:
             ), kept AS (
               SELECT l.doc_id, l.pos, l.t
               FROM l JOIN dfs ON l.t = dfs.t WHERE dfs.df <= 3
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(t, chr(10) ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY doc_id
+        """,
+        "line_dedup_scoped": """
+            -- scoped twin: df grouped by (source, line); join carries
+            -- the scope so counts never cross sources
+            WITH t0 AS (
+              SELECT doc_id, source,
+                text || chr(10) || 'subscribe to our newsletter'
+                     || chr(10) || 'copyright ' || source
+                     || CASE WHEN doc_id % 29 = 0
+                        THEN chr(10) || 'network wide notice' ELSE '' END
+                     || chr(10) || 'doc ' || doc_id || ' footer' AS text
+              FROM documents
+            ), split AS (
+              SELECT doc_id, source,
+                string_split(text, chr(10)) AS parts FROM t0
+            ), l AS (
+              SELECT doc_id, source, u['pos'] AS pos, u['t'] AS t FROM (
+                SELECT doc_id, source,
+                  unnest([{'pos': i, 't': trim(parts[i])}
+                          FOR i IN generate_series(1, len(parts))]) AS u
+                FROM split
+              ) WHERE u['t'] <> ''
+            ), dfs AS (
+              SELECT source, t, count(DISTINCT doc_id) AS df
+              FROM l GROUP BY source, t
+            ), kept AS (
+              SELECT l.doc_id, l.pos, l.t
+              FROM l JOIN dfs
+                ON l.source = dfs.source AND l.t = dfs.t
+              WHERE dfs.df <= 3
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
               md5(string_agg(t, chr(10) ORDER BY pos)) AS clean_md5

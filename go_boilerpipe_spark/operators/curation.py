@@ -479,6 +479,7 @@ def drop_common_lines(
     text_col: str = "text",
     max_df: int = 2,
     out_col: str = "clean_text",
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate-line removal (the RefinedWeb / CCNet
     pre-dedup pass): a line whose trimmed form appears in more than
@@ -491,6 +492,16 @@ def drop_common_lines(
     removed from ALL documents including the first — site-wide chrome is
     noise everywhere, not content anywhere.
 
+    ``scope_col`` (e.g. the url host) counts document frequency WITHIN
+    each scope instead of corpus-wide — the published RefinedWeb recipe:
+    a nav line repeated across one site is chrome, but a sentence common
+    across the whole web may be legitimate content. At 10^12 docs the
+    scoped key (scope, line_hash) is also the safer shuffle key: a
+    corpus-wide ubiquitous line concentrates its df count on one reduce
+    key, while scoping shards it by site (the count agg is partial/
+    map-side combined either way, so even the global form only ships one
+    partial per task).
+
     Plan shape at crawl scale: posexplode (map-side) → distinct
     (doc, line_hash) pre-aggregation → df count on the line hash (uniform
     key, map-side partial agg) → shuffle join lines⋈df on line_hash →
@@ -501,17 +512,19 @@ def drop_common_lines(
     lines are never counted against the threshold and are dropped from
     the output (they carry no content and would otherwise all collide on
     one hash = one hot reduce key at 10^12 docs)."""
+    scope = [scope_col] if scope_col else []
     lines = docs.select(
         F.col(id_col),
+        *scope,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_t", F.trim(F.col("_line"))).filter(F.col("_t") != "")
     lines = lines.withColumn("_h", F.md5(F.col("_t").cast("binary")))
     dfs = (
-        lines.select(id_col, "_h").distinct()
-        .groupBy("_h").agg(F.count("*").alias("_df"))
+        lines.select(id_col, *scope, "_h").distinct()
+        .groupBy(*scope, "_h").agg(F.count("*").alias("_df"))
     )
     kept = (
-        lines.join(dfs, "_h")
+        lines.join(dfs, [*scope, "_h"])
         .filter(F.col("_df") <= max_df)
         .groupBy(id_col)
         .agg(

@@ -887,6 +887,32 @@ class TestCuration:
         )
         assert kept == [11, 12]  # both 'fresh' copies survive
 
+    def test_drop_common_lines_scoped(self, spark):
+        # r5: RefinedWeb semantics — df counted WITHIN a scope (host):
+        # a line shared across scopes survives, the same line repeated
+        # within one scope drops
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (1, "a.com", "chrome\nunique one"),
+            (2, "a.com", "chrome\nunique two"),
+            (3, "b.com", "chrome\nunique three"),
+            (4, "b.com", "other\nunique four"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        out = {r["doc_id"]: r["clean_text"]
+               for r in curation.drop_common_lines(
+                   df, max_df=1, scope_col="host").collect()}
+        # 'chrome' df=2 within a.com -> dropped there; df=1 within
+        # b.com -> kept there
+        assert out[1] == "unique one" and out[2] == "unique two"
+        assert out[3] == "chrome\nunique three"
+        assert out[4] == "other\nunique four"
+        # global form (no scope) drops 'chrome' everywhere
+        g = {r["doc_id"]: r["clean_text"]
+             for r in curation.drop_common_lines(df, max_df=2).collect()}
+        assert g[3] == "unique three"
+
     def test_drop_common_lines_differential(self, spark):
         # seeded random corpora vs a pure-Python reference of the
         # documented semantics (trim, skip empties, df over distinct
