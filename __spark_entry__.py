@@ -927,6 +927,19 @@ def _q_snapshot_delta(spark, sf):
     return curation.incremental_new_docs(new, old).select("doc_id", "lang")
 
 
+def _q_dup_ngrams(spark, sf):
+    """Cross-document exact-substring audit (Lee et al. n-gram
+    approximation): per doc, how many of its 13-token windows appear in
+    >=2 distinct documents. Catches copied PASSAGES that doc-level
+    dedup misses; the corpus's exact/near-dup clusters give nonzero
+    strata. Plan: md5-hex windows, one partial-agged distinct-doc count
+    on the uniform hash key, join back, per-doc agg."""
+    d = _t(spark, sf, "documents")
+    return curation.duplicated_ngram_stats(
+        d, id_col="doc_id", text_col="text", n=13, min_docs=2
+    )
+
+
 def _q_url_rules(spark, sf):
     """Robots-style allow/deny filtering over the synthetic host layout:
     longest-prefix rule wins, ties toward allow, no-rule urls pass.
@@ -1111,6 +1124,7 @@ _RAW_QUERIES = {
         "line_dedup_scoped": _q_line_dedup_scoped,
         "pagerank_hosts": _q_pagerank,
         "snapshot_delta": _q_snapshot_delta,
+        "dup_ngrams": _q_dup_ngrams,
         "url_rules": _q_url_rules,
         "emb_quantize": _q_emb_quantize,
         "repetition_stats": _q_repetition,
@@ -2151,6 +2165,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT md5(text) FROM documents
                 WHERE doc_id % 3 != 0
               )
+        """,
+        "dup_ngrams": """
+            -- twin of curation.duplicated_ngram_stats: 13-token md5
+            -- windows (short docs -> one whole-doc window, the winnow
+            -- fallback), distinct-doc frequency per window, per-doc
+            -- occurrence counts; integer // matches Spark's bigint div
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                unnest([md5(array_to_string(toks[i:i+12], ' '))
+                        FOR i IN generate_series(
+                          1, greatest(len(toks)-12, 1))]) AS h
+              FROM t
+            ), dfq AS (
+              SELECT h, count(DISTINCT doc_id) AS dfc FROM w GROUP BY h
+            )
+            SELECT w.doc_id,
+              count(*) AS total_windows,
+              CAST(sum(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dup_windows,
+              (CAST(sum(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000) // count(*) AS dup_permille
+            FROM w JOIN dfq USING (h)
+            GROUP BY w.doc_id
         """,
         "line_dedup": """
             -- twin of curation.drop_common_lines over the synthetic

@@ -639,3 +639,70 @@ def top_terms(
         .agg(F.count("*").alias("n"))
     )
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+
+
+def duplicated_ngram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring audit (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every ``n``-token
+    window, count how many DISTINCT documents contain it; per document,
+    report how many of its window occurrences are shared by at least
+    ``min_docs`` docs. Doc-level dedup (exact/minhash) misses copied
+    PASSAGES inside otherwise-distinct pages — boilerplate paragraphs,
+    licensing blurbs, syndicated spans — which are exactly what a model
+    memorizes; this is the scalable n-gram approximation of the paper's
+    suffix-array pass.
+
+    Output: (id_col, total_windows, dup_windows, dup_permille) with
+    ``dup_permille = dup_windows*1000 div total_windows`` integer-exact
+    (bigint ``div`` == DuckDB ``//`` on non-negatives). Docs shorter
+    than ``n`` tokens contribute one whole-doc window (the
+    winnow_fingerprint fallback), so every doc appears and the division
+    never sees zero.
+
+    Scale: windows ship as md5 hex (32 bytes) not raw text; the plan is
+    explode → partial-agged distinct-doc count on the uniform md5 key →
+    join back on the same key → per-doc agg. Three shuffles, no skew
+    (md5 keys are uniform by construction; a pathological
+    every-doc-shares-it window is ONE reduce key with a bigint counter,
+    not a collected list). At 10^12 docs this is the standard
+    distributed shape for exact-substring dedup; the token arrays are
+    staged once per doc (PLANS.md HOF-staging lesson)."""
+    staged = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_w = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_w - 1)
+    win_hash = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice(toks, i + 1, n), " ").cast("binary")
+    )
+    wins = staged.select(
+        F.col(id_col), F.explode(F.transform(idx, win_hash)).alias("_h")
+    )
+    docfreq = wins.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    return (
+        wins.join(docfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.sum(
+                F.when(F.col("_df") >= min_docs, 1).otherwise(0)
+            ).alias("dup_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "total_windows",
+            "dup_windows",
+            F.expr("(dup_windows * 1000) div total_windows").alias(
+                "dup_permille"
+            ),
+        )
+    )

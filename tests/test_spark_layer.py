@@ -958,6 +958,42 @@ class TestCuration:
             }
             assert got == expected, f"max_df={max_df}"
 
+    def test_duplicated_ngram_stats(self, spark):
+        # r5: cross-doc exact-substring audit, hand-computed. A and B
+        # are byte-identical short docs (one whole-doc window each); C
+        # and D share exactly their first 13-token window; C/D's other
+        # two windows are unique.
+        from go_boilerpipe_spark.operators import curation
+
+        base = " ".join(f"t{i}" for i in range(1, 14))  # 13 tokens
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i j"),
+                (3, base + " c14 c15"),
+                (4, base + " d14 d15"),
+                (5, "totally unique words " + " ".join(
+                    f"u{i}" for i in range(20))),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["total_windows"], r["dup_windows"],
+                          r["dup_permille"])
+            for r in curation.duplicated_ngram_stats(docs).collect()
+        }
+        assert got[1] == (1, 1, 1000) and got[2] == (1, 1, 1000)
+        assert got[3] == (3, 1, 333) and got[4] == (3, 1, 333)
+        assert got[5] == (11, 0, 0)
+        # partitioning invariance
+        got2 = {
+            r["doc_id"]: (r["total_windows"], r["dup_windows"],
+                          r["dup_permille"])
+            for r in curation.duplicated_ngram_stats(
+                docs.repartition(7)).collect()
+        }
+        assert got2 == got
+
     def test_pagerank_differential(self, spark):
         # seeded random digraph vs a pure-Python replica of the
         # integer-exact recurrence (same div/floor semantics)
