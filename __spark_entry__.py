@@ -31,8 +31,23 @@ from go_boilerpipe_spark.operators.extract import extract_articles  # noqa: E402
 from go_boilerpipe_spark.operators.multimodal import decode_media  # noqa: E402
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a driver table. ``spread=True`` round-robins a SMALL input to
+    the session's cores first (small single-file tables scan as 1-2
+    splits — one row group — so per-row-heavy map work would otherwise
+    run on 2 of 32 cores; size-gated, never fires at crawl scale, guide
+    §2). Queries whose first real operator is a shuffle (windows, aggs,
+    anti-joins) keep the default: the extra exchange pays a local sort
+    for no downstream benefit (measured +0.3..1.1 s on the events
+    suite)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        from go_boilerpipe_spark.operators.util import spread_small
+
+        df = spread_small(df)
+    return df
 
 
 def _shipped(fn):
@@ -298,7 +313,7 @@ def _q_orders_join(spark, sf):
 
 
 def _q_url_normalize(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     staged = d.select("doc_id", _url_adv_col().alias("_raw"))
     return urls.with_normalized_url(staged, "_raw").select(
         "doc_id", "norm_url"
@@ -306,12 +321,12 @@ def _q_url_normalize(spark, sf):
 
 
 def _q_url_root(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select("doc_id", urls.url_root(_url_col()).alias("root"))
 
 
 def _q_url_dates(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     u = F.concat(
         F.lit("https://h.com/"),
         (F.lit(2000) + F.col("doc_id") % 26).cast("string"),
@@ -344,7 +359,7 @@ def _q_url_keep_query(spark, sf):
     # this form — subexpression elimination already evaluates the
     # decode→sort→encode array pipeline once despite the double
     # reference (BENCH/BASELINE.md round-5 note).
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     u = F.concat(
         F.lit("https://h.com/p?utm_source=news&q="),
         F.col("doc_id"),
@@ -370,16 +385,23 @@ def _q_dedup_simhash(spark, sf):
 
 
 def _q_near_dup_jaccard(spark, sf):
-    docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
-    return dedup.jaccard_verify_pairs(docs, pairs, threshold=0.5)
+    # candidate pairs are MATERIALIZED (persist) so the verify stage can
+    # left-semi prune the shingle-set computation to candidate docs only
+    # (jaccard_verify_pairs docstring: the normal 100-TB shape) — without
+    # the prune the interpreted shingle-set HOFs run over the FULL corpus
+    # twice (once per join side)
+    docs = _t(spark, sf, "documents", spread=True)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).persist()
+    return dedup.jaccard_verify_pairs(
+        docs, pairs, threshold=0.5, prune_candidates=True
+    )
 
 
 def _q_lang_id(spark, sf):
     # stage the widening regex pass ONCE per row (its own projection —
     # CollapseProject keeps a non-cheap alias referenced 4x staged), then
     # score all four language arms from the staged column (VERDICT r3 item 1)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     staged = d.select(
         "doc_id", "text", textstats.padded_lc(F.col("text")).alias("_padded")
     )
@@ -394,7 +416,7 @@ def _q_lang_id(spark, sf):
 def _q_quality(spark, sf):
     # same staging trick: padded once, features once, score from the staged
     # FEATURE columns (not from a recomputed feature tree)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     staged = d.select(
         "doc_id", "text", textstats.padded_lc(F.col("text")).alias("_padded")
     )
@@ -417,7 +439,7 @@ def _q_quality(spark, sf):
 
 
 def _q_token_counts(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id",
         textstats.token_count_ws(F.col("text")).alias("n_ws_tokens"),
@@ -426,14 +448,14 @@ def _q_token_counts(spark, sf):
 
 
 def _q_fingerprints(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id", textstats.doc_fingerprint(F.col("text")).alias("fingerprint")
     )
 
 
 def _queries_emb(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -456,7 +478,9 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_dedup_embedding(spark, sf):
-    e = similarity.with_lsh_bucket(_t(spark, sf, "embeddings"), h=8)
+    e = similarity.with_lsh_bucket(
+        _t(spark, sf, "embeddings", spread=True), h=8
+    )
     return dedup.embedding_near_dup_pairs(
         e, threshold=0.3, bucket_col="bucket"
     )
@@ -523,7 +547,7 @@ def _q_contamination_indexed(spark, sf):
     # the 10^5+-probe decontamination path: anchor-token inverted join +
     # exact verify; probes cover both branches (multi-token 40-char
     # slices -> anchored; a 9-char slice -> the short-probe fallback)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     probes_a = (
         d.filter(F.col("doc_id").isin(3, 7))
         .select(
@@ -570,10 +594,18 @@ def _q_curate_pipeline(spark, sf):
     stats. Every stage is the same operator the standalone queries check;
     per-lang mean quality accumulates in DECIMAL so the value is exact
     and engine-portable."""
-    d = _t(spark, sf, "documents")
-    gated = d.select(
+    d = _t(spark, sf, "documents", spread=True)
+    # padded marker string staged once per row (same VERDICT r3 item 1
+    # staging the standalone quality queries use)
+    staged = d.select(
         "doc_id", "lang", "text",
-        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.padded_lc(F.col("text")).alias("_padded"),
+    )
+    gated = staged.select(
+        "doc_id", "lang", "text",
+        textstats.quality_score(
+            F.col("text"), padded=F.col("_padded")
+        ).alias("q"),
     ).filter(F.col("q") >= 0.7)
     flags = dedup.exact_dedup(gated.select("doc_id", "text"))
     kept = gated.join(
@@ -665,7 +697,7 @@ def _q_ann_recall(spark, sf):
 
 
 def _q_lang_confusion(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     staged = d.select(
         "lang", "text", textstats.padded_lc(F.col("text")).alias("_padded")
     )
@@ -683,7 +715,7 @@ def _q_lang_confusion(spark, sf):
 
 def _q_quality_filter(spark, sf):
     # the C4/Gopher-style corpus gate: keep docs passing all quality checks
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     staged = d.select(
         "doc_id", "lang", "text",
         textstats.padded_lc(F.col("text")).alias("_padded"),
@@ -707,7 +739,7 @@ def _q_dedup_keep(spark, sf):
 
 
 def _q_multimodal(spark, sf):
-    d = _t(spark, sf, "documents").select(
+    d = _t(spark, sf, "documents", spread=True).select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -719,7 +751,7 @@ def _q_multimodal(spark, sf):
 
 
 def _q_emb_quantize(spark, sf):
-    return similarity.quantize_int8(_t(spark, sf, "embeddings"))
+    return similarity.quantize_int8(_t(spark, sf, "embeddings", spread=True))
 
 
 def _q_repetition(spark, sf):
@@ -749,11 +781,17 @@ def _q_token_budget_pack(spark, sf):
     order — exact in every engine)."""
     from pyspark.sql import Window
 
-    d = _t(spark, sf, "documents")
-    scored = d.select(
+    d = _t(spark, sf, "documents", spread=True)
+    staged = d.select(
+        "doc_id", "lang", "text",
+        textstats.padded_lc(F.col("text")).alias("_padded"),
+    )
+    scored = staged.select(
         "doc_id", "lang",
         textstats.token_count_ws(F.col("text")).alias("n_tok"),
-        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.quality_score(
+            F.col("text"), padded=F.col("_padded")
+        ).alias("q"),
     )
     w = (
         Window.partitionBy("lang")
@@ -814,7 +852,7 @@ def _q_pii_scrub(spark, sf):
     """PII scrub over documents with synthetic PII appended (so every row
     has known hits on top of whatever the text contains): per-category
     counts + the masked text, all pure codegen."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     u = F.concat(
         F.col("text"),
         F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com"),
@@ -979,7 +1017,7 @@ def _q_url_rules(spark, sf):
 def _q_multimodal_frames(spark, sf):
     from go_boilerpipe_spark.operators.multimodal import sample_frame_indices
 
-    d = _t(spark, sf, "documents").select(
+    d = _t(spark, sf, "documents", spread=True).select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -993,7 +1031,7 @@ def _q_multimodal_frames(spark, sf):
 def _q_pdf_parse(spark, sf):
     from go_boilerpipe_spark.operators.pdf import parse_pdfs
 
-    d = _t(spark, sf, "documents").select(
+    d = _t(spark, sf, "documents", spread=True).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return parse_pdfs(d)

@@ -156,7 +156,9 @@ def segment_dedup(
     pass does not re-evaluate the token split per element (O(n²) trap)."""
     from pyspark.sql import Window
 
-    staged_toks = docs.select(
+    from .util import spread_small
+
+    staged_toks = spread_small(docs).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
     )
@@ -209,7 +211,9 @@ def doc_token_rarity(
 
     Two shuffles: the df count (map-side partial agg) and the term join
     (broadcast the df table when the vocab fits, else shuffle join)."""
-    toks = docs.select(
+    from .util import spread_small
+
+    toks = spread_small(docs).select(
         F.col(id_col),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
@@ -253,7 +257,9 @@ def repetition_stats(
     # references it once per bigram, and an inline split() subtree would
     # re-tokenize the full text per element (O(n²) in doc length — the
     # PLANS.md lesson-1 trap; this cost repetition_stats ~2x at sf0.1)
-    staged_toks = docs.select(
+    from .util import spread_small
+
+    staged_toks = spread_small(docs).select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), "\\s+").alias("_toks"),
     )
@@ -401,7 +407,9 @@ def scrub_pii(
     hit counts ride along so the pipeline can audit scrub rates by
     source. Counts are taken on the progressively-scrubbed text, exactly
     mirroring what the replacement chain sees."""
-    d = docs
+    from .util import spread_small
+
+    d = spread_small(docs)
     cur = F.col(text_col)
     staged = []
     for name, pat in PII_PATTERNS:
@@ -630,7 +638,9 @@ def top_terms(
     ≥ min_len by frequency (ties broken by term, so the cut at rank k is
     deterministic). Explode is map-side; the count is one shuffle with
     map-side partial aggregation; the top-k is a tiny sort."""
-    toks = docs.select(
+    from .util import spread_small
+
+    toks = spread_small(docs).select(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("term")
     )
     counts = (
@@ -672,15 +682,29 @@ def duplicated_ngram_stats(
     every-doc-shares-it window is ONE reduce key with a bigint counter,
     not a collected list). At 10^12 docs this is the standard
     distributed shape for exact-substring dedup; the token arrays are
-    staged once per doc (PLANS.md HOF-staging lesson)."""
-    staged = docs.select(
+    staged once per doc (PLANS.md HOF-staging lesson).
+
+    r6 (VERDICT r5 item 2): ``total_windows`` is computable MAP-SIDE as
+    ``greatest(size(_toks)−(n−1), 1)`` — no need to count exploded rows —
+    so the doc-frequency table is filtered to ``_df ≥ min_docs`` BEFORE
+    the join back, the join's build side shrinks to only the duplicated
+    windows (typically a small fraction of the vocabulary), and docs with
+    no duplicated window rejoin through a LEFT join + coalesce(0). The
+    small-input spread guard parallelizes the window-hash generation
+    (one-row-group tables scan as one split — see operators.util)."""
+    from .util import spread_small
+
+    staged = spread_small(docs.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks")
-    )
+    ))
     toks = F.col("_toks")
     n_w = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n_w - 1)
     win_hash = lambda i: F.md5(  # noqa: E731
         F.array_join(F.slice(toks, i + 1, n), " ").cast("binary")
+    )
+    totals = staged.select(
+        F.col(id_col), n_w.cast("bigint").alias("total_windows")
     )
     wins = staged.select(
         F.col(id_col), F.explode(F.transform(idx, win_hash)).alias("_h")
@@ -688,14 +712,19 @@ def duplicated_ngram_stats(
     docfreq = wins.groupBy("_h").agg(
         F.count_distinct(F.col(id_col)).alias("_df")
     )
-    return (
-        wins.join(docfreq, "_h")
+    dup = (
+        wins.join(docfreq.filter(F.col("_df") >= min_docs), "_h")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("total_windows"),
-            F.sum(
-                F.when(F.col("_df") >= min_docs, 1).otherwise(0)
-            ).alias("dup_windows"),
+        .agg(F.count(F.lit(1)).alias("_dup"))
+    )
+    return (
+        totals.join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "total_windows",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint").alias(
+                "dup_windows"
+            ),
         )
         .select(
             F.col(id_col),

