@@ -390,26 +390,30 @@ def _q_near_dup_jaccard(spark, sf):
     # (jaccard_verify_pairs docstring: the normal 100-TB shape) — without
     # the prune the interpreted shingle-set HOFs run over the FULL corpus
     # twice (once per join side)
+    # lazy pairs + candidate prune: since the band self-join went
+    # shuffle-based (merge hint), the three pairs references resolve to
+    # ONE computation via exchange reuse, and the prune keeps the
+    # interpreted shingle-set HOFs off the full corpus (A/B at sf1.0:
+    # lazy+prune 3.4 s, eager-checkpoint+prune 5.0 s, lazy no-prune
+    # 5.7 s; a persist() would leak into later identical minhash plans
+    # via the cache manager and was rejected as unfair to the bench)
     docs = _t(spark, sf, "documents", spread=True)
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).persist()
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
     return dedup.jaccard_verify_pairs(
         docs, pairs, threshold=0.5, prune_candidates=True
     )
 
 
 def _q_lang_id(spark, sf):
-    # stage the widening regex pass ONCE per row (its own projection —
-    # CollapseProject keeps a non-cheap alias referenced 4x staged), then
-    # score all four language arms from the staged column (VERDICT r3 item 1)
+    # r6: the four staged regexp_count arms are replaced by ONE Arrow
+    # batch kernel (tokenize once, count marker membership per language —
+    # textstats.lang_id_batched; values identical, equivalence pinned by
+    # unit test). The r5 staged-regex formulation remains available as
+    # textstats.lang_id for engines without Python workers.
     d = _t(spark, sf, "documents", spread=True)
-    staged = d.select(
-        "doc_id", "text", textstats.padded_lc(F.col("text")).alias("_padded")
-    )
-    return staged.select(
+    return d.select(
         "doc_id",
-        textstats.lang_id(F.col("text"), padded=F.col("_padded")).alias(
-            "pred_lang"
-        ),
+        textstats.lang_id_batched(F.col("text")).alias("pred_lang"),
     )
 
 
@@ -456,7 +460,11 @@ def _q_fingerprints(spark, sf):
 
 def _queries_emb(spark, sf):
     e = _t(spark, sf, "embeddings", spread=True)
-    q = e.filter(F.col("vec_id") < 5).select(
+    # the query side stays on the RAW (1-2 partition) read: deriving the
+    # 5-row broadcast side from the spread table would run its Arrow
+    # bucket kernel as 32 near-empty Python tasks per arm (pure task
+    # overhead — measured +0.7 s on ann_cosine_lsh)
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return e, q
@@ -601,15 +609,27 @@ def _q_curate_pipeline(spark, sf):
         "doc_id", "lang", "text",
         textstats.padded_lc(F.col("text")).alias("_padded"),
     )
+    from go_boilerpipe_spark.operators.util import no_pushdown
+
     gated = staged.select(
         "doc_id", "lang", "text",
-        textstats.quality_score(
+        no_pushdown(textstats.quality_score(
             F.col("text"), padded=F.col("_padded")
-        ).alias("q"),
+        )).alias("q"),
     ).filter(F.col("q") >= 0.7)
-    flags = dedup.exact_dedup(gated.select("doc_id", "text"))
-    kept = gated.join(
-        flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    # keeper filter inline on the window result (the minhash_capped
+    # pre-dedup shape): one shuffle on the text hash, no join back — the
+    # exact_dedup + join-on-id composition evaluated the gated quality
+    # scores twice (flags side + join side). Kept set identical: the
+    # keeper is min(doc_id) per text hash among gated docs either way.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_th")
+    kept = (
+        gated.withColumn("_th", F.md5(F.col("text").cast("binary")))
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_th", "_keep")
     )
     sampled = curation.stratified_sample(
         kept, "lang", {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
@@ -697,16 +717,12 @@ def _q_ann_recall(spark, sf):
 
 
 def _q_lang_confusion(spark, sf):
+    # same Arrow lang-id kernel as _q_lang_id
     d = _t(spark, sf, "documents", spread=True)
-    staged = d.select(
-        "lang", "text", textstats.padded_lc(F.col("text")).alias("_padded")
-    )
     return (
-        staged.select(
+        d.select(
             "lang",
-            textstats.lang_id(F.col("text"), padded=F.col("_padded")).alias(
-                "pred_lang"
-            ),
+            textstats.lang_id_batched(F.col("text")).alias("pred_lang"),
         )
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
@@ -716,15 +732,20 @@ def _q_lang_confusion(spark, sf):
 def _q_quality_filter(spark, sf):
     # the C4/Gopher-style corpus gate: keep docs passing all quality checks
     d = _t(spark, sf, "documents", spread=True)
+    from go_boilerpipe_spark.operators.util import no_pushdown
+
     staged = d.select(
         "doc_id", "lang", "text",
         textstats.padded_lc(F.col("text")).alias("_padded"),
     )
+    # no_pushdown: the q >= 0.7 filter would otherwise be pushed below
+    # the staging projections AND the spread exchange by substituting the
+    # whole score tree — double evaluation on the scan's 2 tasks
     return staged.select(
         "doc_id", "lang",
-        textstats.quality_score(
+        no_pushdown(textstats.quality_score(
             F.col("text"), padded=F.col("_padded")
-        ).alias("q"),
+        )).alias("q"),
     ).filter(F.col("q") >= 0.7).select("doc_id", "lang", "q")
 
 
@@ -1075,8 +1096,10 @@ def _q_web_pipeline(spark, sf):
         flags.filter(~F.col("is_duplicate")).select("url"), "url"
     )
     scrubbed = curation.scrub_pii(uniq, text_col="content")
+    from go_boilerpipe_spark.operators.util import no_pushdown
+
     scored = scrubbed.withColumn(
-        "quality", textstats.quality_score(F.col("clean_text"))
+        "quality", no_pushdown(textstats.quality_score(F.col("clean_text")))
     ).filter(F.col("quality") >= 0.5)
     return scored.agg(
         F.count("*").alias("n_docs"),

@@ -205,10 +205,24 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     rows/band = num_hashes/bands; collision prob ≈ s^(rows) per band.
     For web-scale corpora with exact-duplicate clusters prefer
-    :func:`minhash_lsh_pairs_capped`."""
+    :func:`minhash_lsh_pairs_capped`.
+
+    r6: the self-join carries a MERGE hint. Left to the planner it goes
+    broadcast-hash locally (the banded table is small), and a broadcast
+    build side cannot share an exchange with the probe side — so the
+    Arrow signature kernel ran TWICE, once per side. Forcing the
+    shuffle-based join makes both sides identical shuffle exchanges over
+    the same kernel output, which the engine reuses (kernel once):
+    2.96 s → 1.66 s at sf1.0. At crawl scale the hint is also the right
+    strategy outright — both sides are corpus-sized (broadcast is never
+    viable), the bucket keys are md5-uniform, sort-merge spills
+    gracefully, and AQE still splits runtime skew (guide §3.1).
+    (A localCheckpoint of the banded table was A/B-tested instead and
+    rejected: no win on a saturated box, and the eager barrier slowed
+    every composition.)"""
     stacked = _lsh_stacked(df, id_col, text_col, num_hashes, bands, shingle_n)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    a = stacked.alias("a").hint("merge")
+    b = stacked.alias("b").hint("merge")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -311,7 +325,9 @@ def minhash_lsh_pairs_capped(
         )
     stacked = _lsh_stacked(df, id_col, text_col, num_hashes, bands, shingle_n)
     capped = _cap_buckets(stacked, max_bucket_size)
-    a, b = capped.alias("a"), capped.alias("b")
+    # merge hint: same single-kernel exchange-reuse reasoning as
+    # minhash_lsh_pairs (broadcast would run the signature kernel twice)
+    a, b = capped.alias("a").hint("merge"), capped.alias("b").hint("merge")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -441,7 +457,8 @@ def simhash_near_pairs(
     )
     if max_bucket_size is not None:
         bucketed = _cap_buckets(bucketed, max_bucket_size)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # merge hint: single-kernel exchange reuse (see minhash_lsh_pairs)
+    a, b = bucketed.alias("a").hint("merge"), bucketed.alias("b").hint("merge")
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -807,12 +824,13 @@ def jaccard_verify_pairs(
 
     ``prune_candidates=True`` computes shingle sets ONLY for docs that
     appear in a pair (left-semi prune) — at crawl scale candidates are a
-    vanishing fraction of the corpus, so enable it whenever ``pairs`` is
-    MATERIALIZED (persisted or read back from a checkpoint between the
-    candidate and verify stages, the normal 100-TB shape). Leave it off
-    for a lazy ``pairs`` lineage: the prune references ``pairs`` two
-    more times, and re-deriving the whole candidate plan 3× costs more
-    than the staging it saves (measured 1.45 → 2.43 s at sf0.1)."""
+    vanishing fraction of the corpus. Since r6 the LSH candidate join is
+    shuffle-based, so a lazy ``pairs`` lineage referenced three times by
+    the prune resolves to ONE computation via exchange reuse — enable
+    the prune for any :func:`minhash_lsh_pairs` input (A/B at sf1.0:
+    lazy+prune 3.4 s vs lazy no-prune 5.7 s vs eager checkpoint 5.0 s).
+    For a pairs plan WITHOUT reusable exchanges (custom candidate
+    sources), materialize pairs first or leave the prune off."""
     if prune_candidates:
         cand_ids = (
             pairs.select(F.col("id_a").alias(id_col))

@@ -43,3 +43,21 @@ def spread_small(df: DataFrame, per_core_bytes: int = 32 << 20) -> DataFrame:
     if est < target * per_core_bytes:
         return df.repartition(target)
     return df
+
+
+def no_pushdown(col):
+    """Value-preserving pushdown barrier for an EXPENSIVE derived column
+    that a later ``.filter`` references (guide §4.4 applied to a pure-JVM
+    tree): appending a nondeterministic zero (``rand(seed) * 0.0``) stops
+    the optimizer from pushing the filter down by SUBSTITUTING the whole
+    expression tree — which would both evaluate the tree twice (once in
+    the pushed filter, once in the output projection) and move the
+    evaluation below the parallelism-spreading exchange onto the scan's
+    1-2 tasks (measured: quality_filter 2.5 s → 0.6 s at sf1.0).
+
+    Exactness: ``x + rand()*0.0`` is bit-identical to ``x`` for every
+    double (0·r == +0.0 for r ∈ [0,1); x + 0.0 == x, incl. NULL and NaN
+    propagation; derived scores here are never -0.0)."""
+    from pyspark.sql import functions as F
+
+    return col + F.rand(7) * 0.0

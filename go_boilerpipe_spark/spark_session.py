@@ -34,6 +34,21 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate derives `size(<generator input>) > 0`
+        # from every explode and pushes it to the SCAN — through the
+        # staging projections and exchanges — so the full generator
+        # expression (e.g. the n-gram window md5 transform) is evaluated a
+        # SECOND time per row at the scan's (often minimal) parallelism.
+        # Measured: segment_dedup's posexplode stage 5.3 s → 0.6 s at
+        # sf1.0 once excluded. Every explode in this engine generates from
+        # a never-empty array (split/transform over sequence), so the
+        # inferred filter can never drop a row here — it is pure
+        # re-computation at ANY scale, local or cluster.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

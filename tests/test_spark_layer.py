@@ -1278,3 +1278,56 @@ class TestCuration:
         )
         assert "Broadcast" in plan2
         assert "Exchange hashpartitioning" not in plan2
+
+
+class TestLangIdBatched:
+    def test_batched_matches_catalyst_on_adversarial_inputs(self, spark):
+        # r6: the Arrow lang-id kernel must agree with the staged
+        # Catalyst expression on every edge the regexes see — NULL,
+        # empty, pure whitespace (tab/newline/\x0b are Java \s), CJK
+        # gate boundaries, non-ASCII casing, adjacent markers, markers
+        # shared between languages ("que": fr+es), and argmax ties
+        # (strictly-greater keeps the earlier LANG_MARKERS entry).
+        from go_boilerpipe_spark.functions import textstats
+
+        rows = [
+            (0, None),
+            (1, ""),
+            (2, "   \t\n\x0b  "),
+            (3, "the and of to is in"),
+            (4, "THE AND OF"),
+            (5, "der die und das"),
+            (6, "le la les et"),
+            (7, "el los las es"),
+            (8, "que que que"),
+            (9, "the und"),          # 1-1 tie -> first dict order wins
+            (10, "一二三四五"),        # all CJK
+            (11, "一二 the and of to is in that it was x"),  # CJK below gate
+            (12, "一一一 ab"),         # 3*5 > 6 -> zh
+            (13, "FÜR für MÁS más"),
+            (14, "of\tthe\nand\x0bto"),
+            (15, "theory anded ofx"),  # substrings must not count
+            (16, " the "),
+            (17, "x" * 5 + " the the und und"),  # 2-2 tie -> en
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staged = df.select(
+            "doc_id", "text",
+            textstats.padded_lc(F.col("text")).alias("_padded"),
+        )
+        catalyst = {
+            r["doc_id"]: r["p"]
+            for r in staged.select(
+                "doc_id",
+                textstats.lang_id(
+                    F.col("text"), padded=F.col("_padded")
+                ).alias("p"),
+            ).collect()
+        }
+        batched = {
+            r["doc_id"]: r["p"]
+            for r in df.select(
+                "doc_id", textstats.lang_id_batched(F.col("text")).alias("p")
+            ).collect()
+        }
+        assert batched == catalyst
