@@ -722,9 +722,19 @@ def duplicate_clusters(
         center = mins.select(F.col("u"), F.col("m").alias("v"))
         return moved.union(center).filter(F.col("u") != F.col("v")).distinct()
 
+    # persist, not localCheckpoint, for the INITIAL edge set (r6): a
+    # localCheckpoint materializes through the RDD path and bypasses
+    # AQE's final replanning, which cost ~4 s of first-execution overhead
+    # on the candidate-join lineage (A/B at sf1.0: first run ckpt 7.2 s,
+    # persist 3.0 s, re-per-reference 3.8 s); the count below
+    # materializes the cache, the branches read it, and both paths
+    # unpersist once the edges are consumed. The per-round
+    # localCheckpoints in the star loop stay — there the point is
+    # truncating the growing iterative lineage, which persist cannot do.
     edges = canon(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    ).localCheckpoint()
+    ).persist()
+    initial_edges = edges
     n_edges = edges.count()
 
     if 0 < n_edges <= local_threshold:
@@ -745,6 +755,7 @@ def duplicate_clusters(
             ra, rb = find(r["u"]), find(r["v"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
+        initial_edges.unpersist()
         mapping = [
             (v, find(v)) for v in list(parent) if find(v) != v
         ]
@@ -776,6 +787,11 @@ def duplicate_clusters(
                     and new_edges.exceptAll(edges).limit(1).count() == 0
                 )
                 edges, n_edges = new_edges, new_n
+                if rounds == 1:
+                    # round-1 output is materialized and the convergence
+                    # check above was the last reader of the initial
+                    # edge set — safe to release it (ADVICE-r5 hygiene)
+                    initial_edges.unpersist()
                 if unchanged:
                     converged = True
                     break
