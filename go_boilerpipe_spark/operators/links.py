@@ -47,6 +47,10 @@ def links_record_batches(
             url, html = urls[i], htmls[i]
             if html is None:
                 continue
+            # page links buffered locally and appended only once the WHOLE
+            # page succeeded (ADVICE r5): an exception mid-page must emit
+            # zero rows for that page, not a partial link set
+            page_rows = []
             try:
                 html_str, clean = _decode_html(html)
                 for href, resolved, anchor in page_links(html_str, url):
@@ -54,12 +58,14 @@ def links_record_batches(
                         href = _scrub(href)
                         resolved = _scrub(resolved)
                         anchor = _scrub(anchor)
-                    out_url.append(url)
-                    out_href.append(href)
-                    out_res.append(resolved)
-                    out_anchor.append(anchor)
+                    page_rows.append((href, resolved, anchor))
             except Exception:
                 continue  # never fail the task on one document
+            for href, resolved, anchor in page_rows:
+                out_url.append(url)
+                out_href.append(href)
+                out_res.append(resolved)
+                out_anchor.append(anchor)
             if len(out_url) >= _MAX_OUT_ROWS and i < batch.num_rows - 1:
                 yield _make_batch(out_url, out_href, out_res, out_anchor)
                 out_url, out_href, out_res, out_anchor = [], [], [], []

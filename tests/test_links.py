@@ -87,3 +87,23 @@ def test_golden_doc_counts_stable():
         "/weather/", "https://lasvegassun.com/weather/", "Complete forecast"
     )
     assert all(r is not None for _h, r, _t in got)
+
+
+def test_midpage_exception_emits_no_partial_rows(monkeypatch):
+    # ADVICE r5 (operators/links.py): a page that raises AFTER some links
+    # were already produced must contribute ZERO rows, not a partial set.
+    import pyarrow as pa
+
+    from go_boilerpipe_spark.operators import links as L
+
+    def exploding_page_links(html, url):
+        yield ("a.html", "http://x/a.html", "text")
+        raise RuntimeError("mid-page boom")
+
+    monkeypatch.setattr(L, "page_links", exploding_page_links)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["http://x/"]), pa.array(["<html></html>"])],
+        names=["url", "html"],
+    )
+    out = list(L.links_record_batches(iter([batch])))
+    assert sum(b.num_rows for b in out) == 0
