@@ -480,7 +480,13 @@ def _q_ann_lsh(spark, sf):
     # staged next to the embedding (at 10^9 vectors you WRITE it to the
     # table once), every sign-LSH consumer takes it via bucket_col
     # instead of re-deriving the Arrow projection.
-    e, q = _queries_emb(spark, sf)
+    # r6: this query keeps the RAW (unspread) read — its only heavy work
+    # is the 20k-row bucket kernel + a ~10^3-candidate scoring pass, and
+    # the spread exchange + 32-task Python round cost MORE than they
+    # saved here (consistent +1 s vs r5 until reverted); the spread stays
+    # on for topk/ivf/recall/dedup_embedding where it measurably wins
+    _, q = _queries_emb(spark, sf)
+    e = _t(spark, sf, "embeddings")
     e = similarity.with_lsh_bucket(e, h=8)
     return similarity.cosine_topk_lsh(e, q, k=10, h=8, bucket_col="bucket")
 

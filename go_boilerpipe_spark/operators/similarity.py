@@ -360,10 +360,8 @@ def with_lsh_bucket(
     (key ``lsh_h``) so consumers can fail fast instead of silently
     producing near-empty joins when handed a bucket built with a
     different ``h`` (ADVICE r4)."""
-    from .util import spread_small
-
     bucket = sign_lsh_bucket_batched(F.col(vec_col), h)
-    return spread_small(emb.drop(out_col)).select(
+    return emb.drop(out_col).select(
         "*", bucket.alias(out_col, metadata={"lsh_h": h})
     )
 

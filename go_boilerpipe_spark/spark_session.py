@@ -58,11 +58,11 @@ def build_session(
             str(arrow_max_records),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # scan-parallelism floor (guide §6): lets multi-row-group files
-        # split below maxPartitionBytes so a medium table (e.g. 126 MB
-        # lineitem, 6 row groups) scans on >1 core; parameterised by the
-        # session's core count, not a local constant
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # NOTE (r6): a minPartitionNum=cores scan floor was A/B-tested and
+        # REJECTED — it cannot split one-row-group files (the actual small-
+        # table problem, solved by operators.util.spread_small) and the
+        # finer splits cost the extraction scan ~8% in task/footer overhead
+        # (3.6k -> 3.2k docs/s at 12k docs; OPTIMIZATION_r06.md)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
