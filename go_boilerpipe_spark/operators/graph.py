@@ -79,9 +79,13 @@ def pagerank(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    # one count on the CLEANED edges gates the path; the localCheckpoint
-    # stops the distinct from re-running for either branch
-    e = e.localCheckpoint()
+    # one count on the CLEANED edges gates the path; persist (not
+    # localCheckpoint — r6: checkpointing materializes through the RDD
+    # path, bypassing AQE's final replanning, and paid ~2.5 s of
+    # first-execution overhead on this lineage; A/B at sf1.0 first run:
+    # ckpt 4.3 s vs persist 1.9 s) stops the distinct from re-running
+    # for either branch; the local path releases it after the collect
+    e = e.persist()
     n_edges = e.count()
     if n_edges <= local_threshold:
         pagerank.last_path = "local"
@@ -89,8 +93,7 @@ def pagerank(
             e, edges.sparkSession, iters, damping_num, damping_den
         )
     pagerank.last_path = "joins"
-    # e is already materialized by the localCheckpoint above — the old
-    # persist(e) would only add a redundant second cache layer
+    # e stays persisted for the per-round contribution joins
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -160,6 +163,7 @@ def _pagerank_local(
         adj.setdefault(s, []).append(d)
         node_set.add(s)
         node_set.add(d)
+    e.unpersist()  # gate cache consumed (ADVICE-r5 hygiene)
     node_type = e.schema["src"].dataType
     schema = T.StructType(
         [
