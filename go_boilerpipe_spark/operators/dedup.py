@@ -113,6 +113,84 @@ def _minhash_kernel_factory(num_hashes: int, shingle_n: int):
     return kernel
 
 
+# per-task shingle-digest cache bound: ~260k entries ≈ tens of MB. Never
+# hit at bench scale (≈30k distinct shingles); at crawl scale it bounds
+# task memory while still deduplicating the high-frequency boilerplate
+# shingles that dominate web corpora.
+_MINHASH_CACHE_CAP = 1 << 18
+
+
+def _minhash_kernel_iter_factory(num_hashes: int, shingle_n: int):
+    """Iterator (per-partition) variant of the MinHash kernel: identical
+    values to :func:`_minhash_kernel_factory` (same preimages, same
+    bytewise min over the same per-doc shingle set — a min over a set is
+    order-independent), but the shingle→digest work is DEDUPLICATED
+    across the partition's documents. Web corpora repeat shingles heavily
+    across documents (boilerplate, templates; measured 8.7× on the bench
+    corpus at 5k docs), so hashing each distinct shingle once replaces
+    ``num_hashes`` md5 computations per occurrence with one dict hit.
+
+    The cache lives inside the generator body, so its lifetime is exactly
+    one partition of one query execution — no state leaks across tasks or
+    queries (a closure-level cache on a plain pandas_udf WOULD persist in
+    the reused worker process, which the no-result-caching bench doctrine
+    forbids). ``_CACHE_CAP`` bounds task memory at crawl scale: past the
+    cap, digests are still computed per occurrence, values unchanged."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    prefixes = [f"s{j}:".encode("ascii") for j in range(num_hashes)]
+    ws = re.compile(r"\s+", re.ASCII)
+    cache_cap = _MINHASH_CACHE_CAP  # bound at definition time (testable)
+
+    def kernel(batches):
+        prefix_states = [hashlib.md5(p) for p in prefixes]
+        cache: dict = {}
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([None] * num_hashes)
+                    continue
+                toks = ws.split(t.strip(" "))
+                cnt = len(toks)
+                if cnt >= shingle_n:
+                    shingles = {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(cnt - shingle_n + 1)
+                    }
+                else:
+                    shingles = {" ".join(toks)}
+                best: list = [None] * num_hashes
+                for sh in shingles:
+                    ds = cache.get(sh)
+                    if ds is None:
+                        b = sh.encode("utf-8")
+                        ds = []
+                        for st in prefix_states:
+                            h = st.copy()
+                            h.update(b)
+                            ds.append(h.digest())
+                        if len(cache) < cache_cap:
+                            cache[sh] = ds
+                    for j in range(num_hashes):
+                        d = ds[j]
+                        if best[j] is None or d < best[j]:
+                            best[j] = d
+                out.append([d.hex() for d in best])
+            yield pd.Series(out)
+
+    # real annotation objects (module uses `from __future__ import
+    # annotations`, and the local Iterator import would not resolve from
+    # a string hint when pandas_udf infers the SCALAR_ITER eval type)
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return kernel
+
+
 _MINHASH_UDFS: dict = {}
 
 
@@ -151,7 +229,8 @@ def minhash_signatures_batched(
     key = (num_hashes, shingle_n)
     if key not in _MINHASH_UDFS:
         _MINHASH_UDFS[key] = pandas_udf(
-            _minhash_kernel_factory(num_hashes, shingle_n), "array<string>"
+            _minhash_kernel_iter_factory(num_hashes, shingle_n),
+            "array<string>",
         )
     sig = df.select(
         F.col(id_col), _MINHASH_UDFS[key](F.col(text_col)).alias("_sig")

@@ -296,6 +296,51 @@ class TestDedup:
             assert arrow == jvm, bits
             assert all(r[0] != 6 for r in arrow)  # null text dropped
 
+    def test_minhash_iter_kernel_matches_batch_kernel(self):
+        # r6: the per-partition iterator kernel (cross-doc shingle-digest
+        # dedup) must equal the original per-batch kernel byte-for-byte,
+        # across arrow-batch boundaries and with the cache cap exercised
+        # (past the cap digests are computed per occurrence — values must
+        # not change).
+        import random
+
+        import pandas as pd
+
+        from go_boilerpipe_spark.operators import dedup as dd
+
+        rng = random.Random(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "x", "汉字", "a b"]
+        texts = [None, "", "   ", "a\tb\nc\x0bd\fe\rf g", "\tlead trail\t"]
+        texts += [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+            for _ in range(800)
+        ]
+        s = pd.Series(texts, dtype="object")
+        for nh, sn in ((12, 3), (8, 2)):
+            ref = list(dd._minhash_kernel_factory(nh, sn)(s))
+            batches = [s[i : i + 97] for i in range(0, len(s), 97)]
+            got = list(
+                pd.concat(
+                    list(dd._minhash_kernel_iter_factory(nh, sn)(iter(batches))),
+                    ignore_index=True,
+                )
+            )
+            assert got == ref, (nh, sn)
+        # cache-cap path: cap of 3 forces most shingles down the uncached
+        # branch; output must be identical
+        orig = dd._MINHASH_CACHE_CAP
+        try:
+            dd._MINHASH_CACHE_CAP = 3
+            capped = list(
+                pd.concat(
+                    list(dd._minhash_kernel_iter_factory(12, 3)(iter([s]))),
+                    ignore_index=True,
+                )
+            )
+        finally:
+            dd._MINHASH_CACHE_CAP = orig
+        assert capped == list(dd._minhash_kernel_factory(12, 3)(s))
+
     def test_minhash_batched_bit_identical(self, spark):
         # VERDICT r4 item 2: the Arrow-batched signature kernel must equal
         # the pure-Catalyst explode/min-agg plan byte-for-byte on every
