@@ -261,20 +261,57 @@ def centroids_struct(centroids: DataFrame, cid_col: str = "cid",
     item 3)."""
     packed = centroids.select(
         F.struct(
-            F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")
+            F.col(cid_col).alias("cid"),
+            F.col(cvec_col).alias("cvec"),
+            # r6: the centroid norm is part of the packed struct, computed
+            # ONCE on this one-row build side — ivf_cells previously
+            # re-derived it per (row × centroid) inside the scoring lambda.
+            # Same expression as _cosine's nb, so the quotient is
+            # bit-identical. cid is unique, so the struct sort order is
+            # unchanged by the extra trailing field.
+            _sq_norm_root(F.col(cvec_col)).alias("cnorm"),
         ).alias("c")
     ).agg(F.array_sort(F.collect_list("c")).alias("_cents"))
     return F.broadcast(packed)
 
 
-def ivf_cells(vec, cents_col, nprobe: int = 1):
+def _sq_norm_root(vec):
+    """sqrt(Σ x²) with _cosine's exact cast/accumulation order."""
+    return F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def ivf_cells(vec, cents_col, nprobe: int = 1, vnorm=None):
     """Top-``nprobe`` centroid ids by cosine (ties → smallest cid), as an
     array column. Map-side only: score each centroid once via transform,
-    sort the small score array, slice."""
+    sort the small score array, slice.
+
+    ``vnorm`` (r6): a pre-staged column holding ``_sq_norm_root(vec)``.
+    Without it the vector's own norm — a 64-element fold — is evaluated
+    inside the lambda for EVERY centroid (O(centroids × dim) interpreted
+    work per row where O(dim) suffices). The cosine is ``dot / (na·nb)``
+    in the same op order as :func:`_cosine`, so values are bit-identical
+    either way."""
+    na = vnorm if vnorm is not None else _sq_norm_root(vec)
     scored = F.transform(
         cents_col,
         lambda c: F.struct(
-            _cosine(vec, c.cvec).alias("cos"), (-c.cid).alias("ncid")
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec, c.cvec,
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (na * c.cnorm)
+            ).alias("cos"),
+            (-c.cid).alias("ncid"),
         ),
     )
     top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
@@ -298,21 +335,37 @@ def cosine_topk_ivf(
     (broadcast centroid array + map-side argmax fold); each query probes
     its top-``nprobe`` centroids' inverted lists."""
     cents = centroids_struct(centroids, cid_col, cvec_col)
+    # stage the row's own norm before the assignment transform (same
+    # discipline as quantize_int8's absmax: an inline norm subtree would
+    # re-run per centroid; PLANS/plans r06 explain confirms the staged
+    # projection survives CollapseProject)
     e = (
         emb.crossJoin(cents)
+        .select("*", _sq_norm_root(F.col(vec_col)).alias("_vn"))
         .withColumn(
             "ivf_cell",
-            F.element_at(ivf_cells(F.col(vec_col), F.col("_cents"), 1), 1),
+            F.element_at(
+                ivf_cells(
+                    F.col(vec_col), F.col("_cents"), 1, vnorm=F.col("_vn")
+                ),
+                1,
+            ),
         )
-        .drop("_cents")
+        .drop("_cents", "_vn")
     )
     q = (
         queries.crossJoin(cents)
+        .select("*", _sq_norm_root(F.col(query_vec_col)).alias("_vn"))
         .withColumn(
             "ivf_cell",
-            F.explode(ivf_cells(F.col(query_vec_col), F.col("_cents"), nprobe)),
+            F.explode(
+                ivf_cells(
+                    F.col(query_vec_col), F.col("_cents"), nprobe,
+                    vnorm=F.col("_vn"),
+                )
+            ),
         )
-        .drop("_cents")
+        .drop("_cents", "_vn")
     )
     joined = e.join(F.broadcast(q), "ivf_cell")
     scored = joined.select(

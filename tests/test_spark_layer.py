@@ -375,6 +375,43 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_ivf_cells_staged_vnorm_identical(self, spark):
+        # r6: ivf_cells accepts a pre-staged vector norm so the fold is
+        # not re-evaluated per centroid; both paths must pick identical
+        # cells (same dot/(na*nb) op order), including duplicated (tie)
+        # vectors. (Zero-norm vectors raise under ANSI on both paths —
+        # pre-existing _cosine behavior, not exercised here.)
+        import math
+
+        rows = [(i, [math.sin(i * 3.0 + j) for j in range(8)])
+                for i in range(40)]
+        rows += [(41, [1.0] * 8), (42, [1.0] * 8)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = spark.createDataFrame(
+            [(c, [math.cos(c * 5.0 + j) for j in range(8)]) for c in range(4)],
+            "cid long, cvec array<float>",
+        )
+        packed = similarity.centroids_struct(cents)
+        base = emb.crossJoin(packed)
+        inline = base.select(
+            "vec_id",
+            similarity.ivf_cells(
+                F.col("embedding"), F.col("_cents"), 2
+            ).alias("cells"),
+        )
+        staged = base.select(
+            "vec_id", "embedding", "_cents",
+            similarity._sq_norm_root(F.col("embedding")).alias("_vn"),
+        ).select(
+            "vec_id",
+            similarity.ivf_cells(
+                F.col("embedding"), F.col("_cents"), 2, vnorm=F.col("_vn")
+            ).alias("cells"),
+        )
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, staged.collect())
+        )
+
     def test_self_is_rank_one(self, spark):
         import math
 
