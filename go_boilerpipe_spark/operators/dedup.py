@@ -691,22 +691,114 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def _winnow_kernel_factory(shingle_n: int, window: int):
+    """Arrow twin of the Catalyst winnowing plan, value-identical: same
+    Java-regex tokenization as the MinHash kernel (``trim`` strips ASCII
+    spaces, ``\\s+`` under ``re.ASCII``), shingle hash = md5 hex of the
+    space-joined slice (UTF-8), window minima over the hex strings (hex
+    is ASCII, so Python's code-point order equals the JVM's UTF-16
+    order), fingerprint = md5 of the ``'|'``-joined sorted distinct
+    minima. Short docs (< shingle_n tokens) hash the whole-token join;
+    fewer hashes than ``window`` yield one whole-array minimum — both
+    exactly the ``greatest(…, 1)`` index-sequence semantics of the JVM
+    path. Null text → ``md5("")``: on the JVM side a null text flows to a
+    single null minimum, ``array_join`` SKIPS nulls (empty string), and
+    the outer md5 hashes that — so the kernel emits the same value, not a
+    null (pinned by the differential unit test).
+
+    Same per-partition shingle→digest dedup as the MinHash iterator
+    kernel (boilerplate shingles repeat across docs), same cache bound."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    ws = re.compile(r"\s+", re.ASCII)
+    cache_cap = _MINHASH_CACHE_CAP
+    md5 = hashlib.md5
+
+    null_fp = md5(b"").hexdigest()  # JVM: null text -> join of skipped
+    # null minimum = "" -> md5("")
+
+    def kernel(batches):
+        cache: dict = {}
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(null_fp)
+                    continue
+                toks = ws.split(t.strip(" "))
+                cnt = len(toks)
+                if cnt >= shingle_n:
+                    shingles = [
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(cnt - shingle_n + 1)
+                    ]
+                else:
+                    shingles = [" ".join(toks)]
+                hs = []
+                for sh in shingles:
+                    d = cache.get(sh)
+                    if d is None:
+                        d = md5(sh.encode("utf-8")).hexdigest()
+                        if len(cache) < cache_cap:
+                            cache[sh] = d
+                    hs.append(d)
+                n_win = max(len(hs) - window + 1, 1)
+                minima = {min(hs[i : i + window]) for i in range(n_win)}
+                fp = md5("|".join(sorted(minima)).encode("utf-8")).hexdigest()
+                out.append(fp)
+            yield pd.Series(out, dtype="object")
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return kernel
+
+
+_WINNOW_UDFS: dict = {}
+
+
 def winnow_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     window: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al.): rolling k-gram
     hashes, keep the minimum of each sliding window, fingerprint = md5 of
     the sorted distinct minima. Stable under small local edits; one
-    map-side pass, no shuffle."""
+    map-side pass, no shuffle.
+
+    ``use_arrow=True`` (default, r6) computes the whole fingerprint in
+    one Arrow kernel: the Catalyst formulation runs ~1 ms/doc of
+    interpreted HOF evaluation (the shingle-md5 transform and the
+    window-min transform cannot codegen), measured 2.2 s → ~1 s at sf1.0
+    50k docs. Values are bit-identical (differential unit test);
+    ``use_arrow=False`` keeps the pure-Catalyst plan for engines without
+    Python workers."""
+    from .util import spread_small
+
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        key = (shingle_n, window)
+        if key not in _WINNOW_UDFS:
+            _WINNOW_UDFS[key] = pandas_udf(
+                _winnow_kernel_factory(shingle_n, window), "string"
+            )
+        sized = spread_small(df, per_core_bytes=128 << 20)
+        return sized.select(
+            F.col(id_col),
+            _WINNOW_UDFS[key](F.col(text_col)).alias("winnow_fp"),
+        )
+
     # token array staged first: the shingle-hash transform slices it once
     # per shingle, and an inline split() would re-tokenize the text per
     # element (O(n²) — same trap as the hash array below)
-    from .util import spread_small
-
     staged_toks = spread_small(df).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),

@@ -341,6 +341,33 @@ class TestDedup:
             dd._MINHASH_CACHE_CAP = orig
         assert capped == list(dd._minhash_kernel_factory(12, 3)(s))
 
+    def test_winnow_arrow_bit_identical(self, spark):
+        # r6: the Arrow winnowing kernel must equal the pure-Catalyst
+        # plan byte-for-byte on every tokenization edge, including the
+        # null-text case where the JVM's array_join SKIPS the null
+        # minimum and md5-hashes the empty string.
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "one two"),
+            (2, "single"),
+            (3, ""),
+            (4, "   "),
+            (5, "a\tb\nc\x0bd\fe\rf g"),
+            (6, "a b c d"),
+            (7, "x y z x y z x y z"),
+            (8, "汉字 token mix 汉字 token mix extra"),
+            (9, "\tleading and trailing\t"),
+            (10, None),
+            (11, "  spaced   out   tokens   here  "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for sn, w in ((3, 4), (2, 3), (5, 2)):
+            jvm = sorted(map(tuple, dedup.winnow_fingerprint(
+                docs, shingle_n=sn, window=w, use_arrow=False).collect()))
+            arrow = sorted(map(tuple, dedup.winnow_fingerprint(
+                docs, shingle_n=sn, window=w, use_arrow=True).collect()))
+            assert arrow == jvm, (sn, w)
+
     def test_minhash_batched_bit_identical(self, spark):
         # VERDICT r4 item 2: the Arrow-batched signature kernel must equal
         # the pure-Catalyst explode/min-agg plan byte-for-byte on every
