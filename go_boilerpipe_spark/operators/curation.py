@@ -235,10 +235,86 @@ def doc_token_rarity(
     )
 
 
+def _repetition_kernel():
+    """Arrow twin of the Catalyst run-length fold, value-identical.
+
+    The fold over the SORTED bigram array computes, per doc: ``top`` =
+    the longest run = the max bigram count, and ``dup`` = Σ positions in
+    runs of length > 1 = Σ counts over bigrams with count > 1 — both
+    functions of the bigram MULTISET only, so a ``Counter`` replaces the
+    sort+fold exactly (sort order differences between UTF-16 code units
+    and code points cannot matter). Other equivalences: ``str.lower()``
+    == the JVM's Locale.ROOT lowercasing (the lang_id kernel's argued and
+    test-pinned equivalence); tokenization is the ASCII-``\\s`` split;
+    ``round(x, 6)`` is replicated with ``Decimal(x).quantize(1e-6,
+    HALF_UP)`` — ``Decimal(float)`` takes the exact binary value, which
+    is precisely Spark's BigDecimal HALF_UP rounding of a double; the
+    divisions are IEEE doubles on both sides. Null text → (1, 1.0, 1.0):
+    the JVM builds a single-null bigram array (``greatest(null,1)`` keeps
+    one index) and the fold's ``eqNullSafe`` counts it as a run of one —
+    pinned by the differential test."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    q6 = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def kernel(batches):
+        for texts in batches:
+            ids, n_l, top_l, dup_l = [], [], [], []
+            for t in texts:
+                if t is None:
+                    # JVM: null text -> _bgs = [null] (greatest(null,1)=1
+                    # index, null join), and the fold's eqNullSafe treats
+                    # the single null as a run of 1 -> (1, 1.0, 1.0)
+                    n_l.append(1)
+                    top_l.append(1.0)
+                    dup_l.append(1.0)
+                    continue
+                toks = ws.split(t.lower().strip(" "))
+                if len(toks) >= 2:
+                    counts = Counter(
+                        toks[i] + " " + toks[i + 1]
+                        for i in range(len(toks) - 1)
+                    )
+                else:
+                    counts = Counter({" ".join(toks): 1})
+                n = sum(counts.values())
+                top = max(counts.values())
+                dup = sum(c for c in counts.values() if c > 1)
+                n_l.append(n)
+                top_l.append(r6(top / n))
+                dup_l.append(r6(dup / n))
+            yield pd.DataFrame(
+                {
+                    "n_bigrams": pd.Series(n_l, dtype="object"),
+                    "top_bigram_share": pd.Series(top_l, dtype="object"),
+                    "dup_bigram_frac": pd.Series(dup_l, dtype="object"),
+                }
+            )
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.DataFrame],
+    }
+    return kernel
+
+
+_REPETITION_UDF = None
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Gopher/MassiveText-style repetition signals, integer-exact:
 
@@ -252,13 +328,41 @@ def repetition_stats(
     shuffles for nothing. Now: sort the staged bigram array and fold
     run-lengths in one pass (count of a bigram = length of its run in
     the sorted array) — zero exchanges, integer-exact, same output, and
-    at 100 TB the operator costs exactly one scan."""
+    at 100 TB the operator costs exactly one scan.
+
+    ``use_arrow=True`` (default, r6) computes all three statistics in one
+    Arrow kernel: the Catalyst bigram transform + sort + run-length fold
+    are interpreted HOFs (~0.9 ms/doc; measured 1.6 s → ~0.7 s at sf1.0
+    50k docs). Values are bit-identical — see the kernel docstring for
+    the case-by-case argument, pinned by a differential unit test.
+    ``use_arrow=False`` keeps the pure-Catalyst plan."""
+    from .util import spread_small
+
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        global _REPETITION_UDF
+        if _REPETITION_UDF is None:
+            _REPETITION_UDF = pandas_udf(
+                _repetition_kernel(),
+                "n_bigrams bigint, top_bigram_share double,"
+                " dup_bigram_frac double",
+            )
+        sized = spread_small(docs, per_core_bytes=128 << 20)
+        staged = sized.select(
+            F.col(id_col), _REPETITION_UDF(F.col(text_col)).alias("_st")
+        )
+        return staged.select(
+            id_col,
+            F.col("_st")["n_bigrams"].alias("n_bigrams"),
+            F.col("_st")["top_bigram_share"].alias("top_bigram_share"),
+            F.col("_st")["dup_bigram_frac"].alias("dup_bigram_frac"),
+        )
+
     # token array staged in its OWN projection: the bigram transform
     # references it once per bigram, and an inline split() subtree would
     # re-tokenize the full text per element (O(n²) in doc length — the
     # PLANS.md lesson-1 trap; this cost repetition_stats ~2x at sf0.1)
-    from .util import spread_small
-
     staged_toks = spread_small(docs).select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), "\\s+").alias("_toks"),

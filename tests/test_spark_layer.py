@@ -1315,6 +1315,28 @@ class TestCuration:
         assert out[1]["dup_bigram_frac"] > 0.9
         assert out[2]["dup_bigram_frac"] == 0.0
 
+    def test_repetition_arrow_bit_identical(self, spark):
+        # r6: the Arrow repetition kernel (Counter over bigrams) must
+        # equal the Catalyst sort+run-length fold byte-for-byte,
+        # including mixed casing, CJK, whitespace edges, and the null
+        # text case (JVM: single-null bigram -> (1, 1.0, 1.0)).
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (0, "a b a b a b"), (1, "one two"), (2, "single"), (3, ""),
+            (4, "   "), (5, "a\tb\nc\x0bd\fe\rf g"),
+            (6, "A B a b MiXeD mixed"), (7, "x y z x y z x y z"),
+            (8, "汉字 token mix 汉字 token mix extra"),
+            (9, "\tlead trail\t"), (10, None),
+            (11, "  spaced   out   tokens   here  "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        jvm = sorted(map(tuple, curation.repetition_stats(
+            docs, use_arrow=False).collect()))
+        arrow = sorted(map(tuple, curation.repetition_stats(
+            docs, use_arrow=True).collect()))
+        assert arrow == jvm
+
     def test_blocklist_filter_anti_join(self, spark):
         from go_boilerpipe_spark.operators import curation
 
