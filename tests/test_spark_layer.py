@@ -1337,6 +1337,29 @@ class TestCuration:
             docs, use_arrow=True).collect()))
         assert arrow == jvm
 
+    def test_token_rarity_arrow_bit_identical(self, spark):
+        # r6: the distinct (term, count)-pair formulation must equal the
+        # occurrence-explode plan exactly — counts are BIGINT so
+        # sum(cnt·df) == sum over occurrences of df; null-text docs are
+        # absent from both outputs.
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (0, "a b a b a b"), (1, "one two"), (2, "single"), (3, ""),
+            (4, "   "), (5, "a\tb\nc\x0bd\fe\rf g"),
+            (6, "A B a b MiXeD mixed"), (7, "x y z x y z x y z"),
+            (8, "汉字 token mix 汉字 token mix extra"),
+            (9, "\tlead trail\t"), (10, None),
+            (11, "  spaced   out   tokens   here  "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        jvm = sorted(map(tuple, curation.doc_token_rarity(
+            docs, use_arrow=False).collect()))
+        arrow = sorted(map(tuple, curation.doc_token_rarity(
+            docs, use_arrow=True).collect()))
+        assert arrow == jvm
+        assert all(r[0] != 10 for r in arrow)  # null text dropped
+
     def test_blocklist_filter_anti_join(self, spark):
         from go_boilerpipe_spark.operators import curation
 
