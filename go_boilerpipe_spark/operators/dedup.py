@@ -435,25 +435,49 @@ def _simhash_kernel_factory(bits: int):
     shifts = np.arange(bits, dtype=np.uint64)
     weights = (np.uint64(1) << shifts).astype(np.int64)
 
-    def kernel(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)  # dropped by the caller's filter
-                continue
-            toks = ws.split(t.strip(" "))
-            hs = np.fromiter(
-                (int(md5(tok.encode("utf-8")).hexdigest()[:14], 16)
-                 for tok in toks),
-                dtype=np.uint64, count=len(toks),
-            )
-            ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
-                axis=0, dtype=np.int64
-            )
-            votes = 2 * ones - len(toks)
-            out.append(int(weights[votes > 0].sum()))
-        return pd.Series(out, dtype="object")
+    def kernel(batches):
+        # per-partition token→hash cache (r6): bit b's vote total is
+        # Σ_occurrences bit_b(hash(tok)) = Σ_distinct count(tok)·bit_b —
+        # identical integer sums, with each distinct token md5-hashed
+        # once per partition instead of once per occurrence. Same
+        # lifetime/cap discipline as the MinHash iterator kernel.
+        from collections import Counter
 
+        cache: dict = {}
+        cache_cap = _MINHASH_CACHE_CAP
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)  # dropped by the caller's filter
+                    continue
+                counts = Counter(ws.split(t.strip(" ")))
+                n = 0
+                hs = np.empty(len(counts), dtype=np.uint64)
+                cnt = np.empty(len(counts), dtype=np.int64)
+                for i, (tok, c) in enumerate(counts.items()):
+                    h = cache.get(tok)
+                    if h is None:
+                        h = int(md5(tok.encode("utf-8")).hexdigest()[:14], 16)
+                        if len(cache) < cache_cap:
+                            cache[tok] = h
+                    hs[i] = h
+                    cnt[i] = c
+                    n += c
+                ones = (
+                    ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                    * cnt[:, None]
+                ).sum(axis=0, dtype=np.int64)
+                votes = 2 * ones - n
+                out.append(int(weights[votes > 0].sum()))
+            yield pd.Series(out, dtype="object")
+
+    from typing import Iterator
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
     return kernel
 
 
