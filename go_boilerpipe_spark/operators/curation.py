@@ -844,12 +844,63 @@ def top_terms(
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
 
 
+_WINDOW_HASH_UDFS: dict = {}
+
+
+def _window_hashes_kernel_factory(n: int):
+    """Arrow twin of the window-md5 transform in
+    :func:`duplicated_ngram_stats`: per doc, the md5 hex of every
+    ``n``-token window (same ``trim(' ')`` + ASCII-``\\s`` split, same
+    space-joined UTF-8 preimages). Docs shorter than ``n`` tokens emit
+    the one whole-doc window; null text emits ``[None]`` — the JVM's
+    ``greatest(null, 1)`` keeps one index whose join/md5 is null, and the
+    explode of either array produces the same single null row. No
+    cross-doc cache: unlike shingles, 13-gram windows rarely repeat
+    across documents, so a cache would only cost memory."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    md5 = hashlib.md5
+
+    def kernel(batches):
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([None])
+                    continue
+                toks = ws.split(t.strip(" "))
+                cnt = len(toks)
+                if cnt >= n:
+                    out.append([
+                        md5(" ".join(toks[i : i + n]).encode("utf-8"))
+                        .hexdigest()
+                        for i in range(cnt - n + 1)
+                    ])
+                else:
+                    out.append(
+                        [md5(" ".join(toks).encode("utf-8")).hexdigest()]
+                    )
+            yield pd.Series(out, dtype="object")
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return kernel
+
+
 def duplicated_ngram_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
     min_docs: int = 2,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Cross-document exact-substring audit (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): for every ``n``-token
@@ -892,16 +943,37 @@ def duplicated_ngram_stats(
     ))
     toks = F.col("_toks")
     n_w = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_w - 1)
-    win_hash = lambda i: F.md5(  # noqa: E731
-        F.array_join(F.slice(toks, i + 1, n), " ").cast("binary")
-    )
     totals = staged.select(
         F.col(id_col), n_w.cast("bigint").alias("total_windows")
     )
-    wins = staged.select(
-        F.col(id_col), F.explode(F.transform(idx, win_hash)).alias("_h")
-    )
+    if use_arrow:
+        # r6: the window-md5 transform is interpreted HOF work (~0.5
+        # ms/doc) and runs on BOTH sides of the docfreq join; the Arrow
+        # kernel produces the identical hash array at hashlib speed.
+        # totals above stays on the cheap JVM size() expression so the
+        # kernel is not re-evaluated a third time for the count.
+        from pyspark.sql.functions import pandas_udf
+
+        if n not in _WINDOW_HASH_UDFS:
+            _WINDOW_HASH_UDFS[n] = pandas_udf(
+                _window_hashes_kernel_factory(n), "array<string>"
+            )
+        src = spread_small(
+            docs.select(F.col(id_col), F.col(text_col)),
+            per_core_bytes=128 << 20,
+        )
+        wins = src.select(
+            F.col(id_col),
+            F.explode(_WINDOW_HASH_UDFS[n](F.col(text_col))).alias("_h"),
+        )
+    else:
+        idx = F.sequence(F.lit(0), n_w - 1)
+        win_hash = lambda i: F.md5(  # noqa: E731
+            F.array_join(F.slice(toks, i + 1, n), " ").cast("binary")
+        )
+        wins = staged.select(
+            F.col(id_col), F.explode(F.transform(idx, win_hash)).alias("_h")
+        )
     docfreq = wins.groupBy("_h").agg(
         F.count_distinct(F.col(id_col)).alias("_df")
     )

@@ -1360,6 +1360,32 @@ class TestCuration:
         assert arrow == jvm
         assert all(r[0] != 10 for r in arrow)  # null text dropped
 
+    def test_dup_ngrams_arrow_bit_identical(self, spark):
+        # r6: the Arrow window-hash kernel must equal the Catalyst
+        # window-md5 transform exactly, across short docs, duplicated
+        # windows, and null text (JVM: one null window row via
+        # greatest(null,1); totals 1, dup 0).
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (0, "a b c d e f g h i j k l m n o p"), (1, "one two"),
+            (2, "single"), (3, ""), (4, "   "),
+            (5, "a\tb\nc\x0bd\fe\rf g h i j k l m n"),
+            (6, "x " * 30 + "y"), (7, ("w " * 13) * 3),
+            (8, "汉字 token mix 汉字 token mix extra a b c d e f g"),
+            (9, "\tlead trail\t"), (10, None),
+            (11, "  spaced   out   tokens   here  "),
+            (12, "a b c d e f g h i j k l m"),
+            (13, "a b c d e f g h i j k l m"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for nn, md in ((13, 2), (5, 2), (3, 3)):
+            jvm = sorted(map(tuple, curation.duplicated_ngram_stats(
+                docs, n=nn, min_docs=md, use_arrow=False).collect()))
+            arrow = sorted(map(tuple, curation.duplicated_ngram_stats(
+                docs, n=nn, min_docs=md, use_arrow=True).collect()))
+            assert arrow == jvm, (nn, md)
+
     def test_blocklist_filter_anti_join(self, spark):
         from go_boilerpipe_spark.operators import curation
 
