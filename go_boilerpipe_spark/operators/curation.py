@@ -139,11 +139,54 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+_SEGMENT_HASH_UDFS: dict = {}
+
+
+def _segment_hashes_kernel_factory(seg_tokens: int):
+    """Arrow twin of the segment transform in :func:`segment_dedup`: per
+    doc, md5 hex of each consecutive ``seg_tokens``-token segment (same
+    tokenization and space-joined UTF-8 preimages as the Catalyst path).
+    Null text emits ``[None]`` — the JVM's ``greatest(null, 1)`` keeps one
+    index whose join/md5 is null, and posexplode of either array yields
+    the same single (0, null) row."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    md5 = hashlib.md5
+
+    def kernel(batches):
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([None])
+                    continue
+                toks = ws.split(t.strip(" "))
+                out.append([
+                    md5(
+                        " ".join(toks[i : i + seg_tokens]).encode("utf-8")
+                    ).hexdigest()
+                    for i in range(0, max(len(toks), 1), seg_tokens)
+                ])
+            yield pd.Series(out, dtype="object")
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return kernel
+
+
 def segment_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_tokens: int = 10,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """CCNet-style segment-level dedup: split each doc into consecutive
     ``seg_tokens``-token segments, hash each, and mark every segment whose
@@ -153,35 +196,57 @@ def segment_dedup(
 
     One explode + one shuffle on the segment hash (uniform key). The
     segment array is staged in its own projection so the per-index slice
-    pass does not re-evaluate the token split per element (O(n²) trap)."""
+    pass does not re-evaluate the token split per element (O(n²) trap).
+
+    ``use_arrow=True`` (default, r6) computes the segment hash array in
+    one Arrow kernel — the Catalyst segment transform is interpreted HOF
+    work (~0.5 ms/doc; measured ~1.5 s → ~0.9 s at sf1.0). Values are
+    bit-identical (differential unit test); ``use_arrow=False`` keeps the
+    pure-Catalyst plan."""
     from pyspark.sql import Window
 
     from .util import spread_small
 
-    staged_toks = spread_small(docs).select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
-    )
-    toks = F.col("_toks")
-    n_seg = F.greatest(
-        F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"), F.lit(1)
-    )
-    idx = F.sequence(F.lit(0), n_seg - 1)
-    staged = staged_toks.select(
-        F.col(id_col),
-        F.transform(
-            idx,
-            lambda i: F.array_join(
-                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
-            ),
-        ).alias("_segs"),
-    )
-    segs = staged.select(
-        id_col, F.posexplode("_segs").alias("seg_idx", "seg_text")
-    ).select(
-        id_col, "seg_idx",
-        F.md5(F.col("seg_text").cast("binary")).alias("seg_hash"),
-    )
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        if seg_tokens not in _SEGMENT_HASH_UDFS:
+            _SEGMENT_HASH_UDFS[seg_tokens] = pandas_udf(
+                _segment_hashes_kernel_factory(seg_tokens), "array<string>"
+            )
+        sized = spread_small(docs, per_core_bytes=128 << 20)
+        segs = sized.select(
+            F.col(id_col),
+            F.posexplode(
+                _SEGMENT_HASH_UDFS[seg_tokens](F.col(text_col))
+            ).alias("seg_idx", "seg_hash"),
+        )
+    else:
+        staged_toks = spread_small(docs).select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"),
+        )
+        toks = F.col("_toks")
+        n_seg = F.greatest(
+            F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"),
+            F.lit(1),
+        )
+        idx = F.sequence(F.lit(0), n_seg - 1)
+        staged = staged_toks.select(
+            F.col(id_col),
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+                ),
+            ).alias("_segs"),
+        )
+        segs = staged.select(
+            id_col, F.posexplode("_segs").alias("seg_idx", "seg_text")
+        ).select(
+            id_col, "seg_idx",
+            F.md5(F.col("seg_text").cast("binary")).alias("seg_hash"),
+        )
     w = (
         Window.partitionBy("seg_hash")
         .orderBy(id_col, "seg_idx")

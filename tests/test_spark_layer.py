@@ -1386,6 +1386,29 @@ class TestCuration:
                 docs, n=nn, min_docs=md, use_arrow=True).collect()))
             assert arrow == jvm, (nn, md)
 
+    def test_segment_dedup_arrow_bit_identical(self, spark):
+        # r6: the Arrow segment-hash kernel must equal the Catalyst
+        # segment transform exactly across segment sizes, short docs,
+        # and null text (one (0, null) segment row on both paths).
+        from go_boilerpipe_spark.operators import curation
+
+        rows = [
+            (0, "a b c d e f g h i j k l m n o p"), (1, "one two"),
+            (2, "single"), (3, ""), (4, "   "),
+            (5, "a\tb\nc\x0bd\fe\rf g h i j k l m n"),
+            (6, "x " * 30 + "y"), (7, ("w " * 10) * 3),
+            (8, "汉字 token mix 汉字 token mix extra a b c d e f g"),
+            (9, "\tlead trail\t"), (10, None),
+            (11, "  spaced   out   tokens   here  "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for st in (10, 3, 1):
+            jvm = sorted(map(tuple, curation.segment_dedup(
+                docs, seg_tokens=st, use_arrow=False).collect()))
+            arrow = sorted(map(tuple, curation.segment_dedup(
+                docs, seg_tokens=st, use_arrow=True).collect()))
+            assert arrow == jvm, st
+
     def test_blocklist_filter_anti_join(self, spark):
         from go_boilerpipe_spark.operators import curation
 
