@@ -700,26 +700,48 @@ def _q_ann_recall(spark, sf):
     truth = similarity.cosine_topk(e, q, k=10).select(
         "query_id", F.col("vec_id").alias("tv")
     ).persist()
-    lsh = _recall_vs(
-        truth,
-        similarity.cosine_topk_lsh_multiprobe(
-            e, q, k=10, h=8, bucket_col="bucket"
-        ),
-        "lsh_multiprobe",
+    # r6: the three arms run in ONE panel plan (similarity.
+    # cosine_topk_panel) instead of three unioned subplans — identical
+    # rows per method (differential-tested against the per-arm
+    # composition), but one candidate join + one Python scorer stage +
+    # one top-k window + one recall join instead of three of each, which
+    # also cuts the first-execution whole-stage-codegen bill the
+    # single-shot bench regime pays.
+    panel = similarity.cosine_topk_panel(
+        e, q,
+        arms=[
+            ("lsh_multiprobe", "lsh", 1),
+            ("lsh_multiprobe2", "lsh", 2),
+            ("ivf_nprobe2", "ivf", 2),
+        ],
+        centroids=_ivf_centroids(e), k=10, h=8, bucket_col="bucket",
     )
-    lsh2 = _recall_vs(
-        truth,
-        similarity.cosine_topk_lsh_multiprobe(
-            e, q, k=10, h=8, flips=2, bucket_col="bucket"
-        ),
-        "lsh_multiprobe2",
+    probe = panel.select(
+        "method", "query_id", F.col("vec_id").alias("pv")
     )
-    ivf = _recall_vs(
-        truth,
-        similarity.cosine_topk_ivf(e, q, _ivf_centroids(e), k=10, nprobe=2),
-        "ivf_nprobe2",
+    hits = (
+        truth.join(
+            probe,
+            (truth.query_id == probe.query_id)
+            & (F.col("tv") == F.col("pv")),
+        )
+        .groupBy("method", truth.query_id)
+        .agg(F.count("*").alias("h"))
     )
-    return lsh.unionByName(lsh2).unionByName(ivf)
+    methods = spark.createDataFrame(
+        [("lsh_multiprobe",), ("lsh_multiprobe2",), ("ivf_nprobe2",)],
+        "method string",
+    )
+    grid = truth.select("query_id").distinct().crossJoin(
+        F.broadcast(methods)
+    )
+    return grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.round(
+            F.coalesce(F.col("h"), F.lit(0)) / 10.0, 2
+        ).alias("recall_at_10"),
+    )
 
 
 def _q_lang_confusion(spark, sf):

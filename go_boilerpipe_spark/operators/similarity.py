@@ -381,6 +381,132 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_panel(
+    emb: DataFrame,
+    queries: DataFrame,
+    arms: list,
+    centroids: DataFrame | None = None,
+    k: int = 10,
+    h: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Several ANN arms in ONE plan (r6): each ``arms`` entry is
+    ``(method, kind, param)`` with kind ``"lsh"`` (param = multiprobe
+    flips) or ``"ivf"`` (param = nprobe). Output = the union of each
+    arm's top-``k`` with a leading ``method`` column — row-for-row equal
+    to running :func:`cosine_topk_lsh_multiprobe` /
+    :func:`cosine_topk_ivf` per arm and unioning (differential-tested):
+    the candidate sets per (method, query) are identical (same probe
+    derivations joined on a tagged common key), the scorer and
+    ``round(…, 5)`` are the same single batched kernel, and the top-k
+    window partitions by (method, query), so per-method ranking and
+    tie-breaks are untouched. The point is plan count: recall-style
+    evaluations that union M arms pay M bucket/cell joins, M Python
+    scorer stages, M windows, and M× whole-stage-codegen compilation —
+    this shape pays each ONCE (the corpus emits one tagged key row per
+    key kind, so the join input grows by #kinds ≤ 2, not #arms).
+    """
+    needs_lsh = any(kind == "lsh" for _, kind, _ in arms)
+    needs_ivf = any(kind == "ivf" for _, kind, _ in arms)
+    if bucket_col is not None:
+        check_bucket_h(emb, bucket_col, h)
+        e = emb.withColumnRenamed(bucket_col, "bucket")
+    elif needs_lsh:
+        e = emb.withColumn(
+            "bucket", sign_lsh_bucket_batched(F.col(vec_col), h)
+        )
+    else:
+        e = emb
+
+    key_structs = []
+    if needs_lsh:
+        key_structs.append(F.struct(
+            F.lit("b").alias("_kt"),
+            F.col("bucket").cast("long").alias("_key"),
+        ))
+    if needs_ivf:
+        assert centroids is not None, "ivf arm needs centroids"
+        cents = centroids_struct(centroids, cid_col, cvec_col)
+        e = e.crossJoin(cents).select(
+            "*", _sq_norm_root(F.col(vec_col)).alias("_vn")
+        )
+        cell = F.element_at(
+            ivf_cells(F.col(vec_col), F.col("_cents"), 1,
+                      vnorm=F.col("_vn")),
+            1,
+        )
+        key_structs.append(F.struct(
+            F.lit("c").alias("_kt"), cell.cast("long").alias("_key")
+        ))
+    ek = e.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*key_structs)).alias("_k"),
+    ).select(
+        id_col, vec_col,
+        F.col("_k._kt").alias("_kt"), F.col("_k._key").alias("_key"),
+    )
+
+    probe_parts = []
+    for method, kind, param in arms:
+        if kind == "lsh":
+            probe_parts.append(queries.select(
+                F.lit(method).alias("method"),
+                F.col(query_id_col), F.col(query_vec_col),
+                F.lit("b").alias("_kt"),
+                F.explode(
+                    F.transform(
+                        sign_lsh_buckets_multiprobe(
+                            F.col(query_vec_col), h, param
+                        ),
+                        lambda b: b.cast("long"),
+                    )
+                ).alias("_key"),
+            ))
+        else:
+            qc = queries.crossJoin(cents).select(
+                "*", _sq_norm_root(F.col(query_vec_col)).alias("_vn")
+            )
+            probe_parts.append(qc.select(
+                F.lit(method).alias("method"),
+                F.col(query_id_col), F.col(query_vec_col),
+                F.lit("c").alias("_kt"),
+                F.explode(
+                    F.transform(
+                        ivf_cells(F.col(query_vec_col), F.col("_cents"),
+                                  param, vnorm=F.col("_vn")),
+                        lambda c: c.cast("long"),
+                    )
+                ).alias("_key"),
+            ))
+    probes = probe_parts[0]
+    for p in probe_parts[1:]:
+        probes = probes.unionByName(p)
+
+    joined = ek.join(F.broadcast(probes), ["_kt", "_key"])
+    scored = joined.select(
+        F.col("method"),
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_batched(F.col(vec_col), F.col(query_vec_col)), 5
+        ).alias("cosine"),
+    ).dropDuplicates(["method", query_id_col, id_col])
+    w = Window.partitionBy("method", query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("method", query_id_col, "rank", id_col, "cosine")
+    )
+
+
 def sign_lsh_buckets_multiprobe(vec, h: int = 8, flips: int = 1, base=None):
     """The base bucket plus all perturbations within ``flips`` bit flips
     (multi-probe: the standard recall/cost knob for sign LSH —

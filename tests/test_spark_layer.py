@@ -439,6 +439,43 @@ class TestSimilarity:
             map(tuple, staged.collect())
         )
 
+    def test_panel_matches_per_arm_composition(self, spark):
+        # r6: cosine_topk_panel must return row-for-row what running the
+        # three arms separately returns (same candidates per method, same
+        # scorer/rounding, per-method window) — including bucket
+        # collisions across methods and the k cutoff.
+        import math
+
+        rows = [(i, [math.sin(i * 7.0 + j) for j in range(8)])
+                for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        cents = emb.filter(F.col("vec_id").between(5, 8)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        e = similarity.with_lsh_bucket(emb, h=8)
+        panel = similarity.cosine_topk_panel(
+            e, q,
+            arms=[("m_lsh1", "lsh", 1), ("m_lsh2", "lsh", 2),
+                  ("m_ivf", "ivf", 2)],
+            centroids=cents, k=5, h=8, bucket_col="bucket",
+        ).collect()
+        got = sorted(map(tuple, panel))
+        exp = []
+        for m, df in [
+            ("m_lsh1", similarity.cosine_topk_lsh_multiprobe(
+                e, q, k=5, h=8, flips=1, bucket_col="bucket")),
+            ("m_lsh2", similarity.cosine_topk_lsh_multiprobe(
+                e, q, k=5, h=8, flips=2, bucket_col="bucket")),
+            ("m_ivf", similarity.cosine_topk_ivf(
+                e, q, cents, k=5, nprobe=2)),
+        ]:
+            exp += [(m, *r) for r in map(tuple, df.collect())]
+        assert got == sorted(exp)
+
     def test_self_is_rank_one(self, spark):
         import math
 
