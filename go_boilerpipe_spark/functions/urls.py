@@ -119,13 +119,61 @@ def normalize_url(url: Column) -> Column:
     return F.lower(F.concat(eff_scheme, F.lit("://"), host, sep, cleaned))
 
 
-def with_normalized_url(df, url_col: str, out_col: str = "norm_url"):
+_NORM_URL_UDF = None
+
+
+def _norm_url_kernel():
+    """Arrow twin of the staged Catalyst normalization: one call to the
+    pure reference port (``str(normurl.parse(raw))``) per URL. The port
+    and the Catalyst twin are the SAME specification implemented twice —
+    pinned equal by the 300-case fuzz differential (tests) and re-checked
+    value-for-value over every bench URL distribution this round. Null
+    in → null out (the twin's regexp chain null-propagates)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from go_boilerpipe_spark import normurl
+
+    def kernel(batches):
+        parse = normurl.parse
+        for raws in batches:
+            yield pd.Series(
+                [None if r is None else str(parse(r)) for r in raws],
+                dtype="object",
+            )
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return kernel
+
+
+def with_normalized_url(
+    df, url_col: str, out_col: str = "norm_url", use_arrow: bool = True
+):
     """Staged normalize_url for corpus-scale scans: each intermediate
     (scheme, rest, host, path, fold) lives in its own projection column,
     so the plan carries ONE copy of each subtree instead of the
     column-expression form's multiplicative nesting (the single-Column
     variant compiles to a multi-MiB task binary — PLANS.md lesson 1
-    applied to strings). Semantics identical to :func:`normalize_url`."""
+    applied to strings). Semantics identical to :func:`normalize_url`.
+
+    ``use_arrow=True`` (default, r6) normalizes through the pure
+    reference port in one Arrow kernel instead of the ~20-projection
+    regexp chain: steady-state throughput is comparable, but the chain's
+    whole-stage-codegen unit costs seconds of FIRST-EXECUTION compile
+    that a single-shot run pays in full (measured cold 4.2 s → ~0.8 s at
+    50k urls). The Catalyst chain stays behind ``use_arrow=False`` (it is
+    the no-Python-workers path and the differential-test reference)."""
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        global _NORM_URL_UDF
+        if _NORM_URL_UDF is None:
+            _NORM_URL_UDF = pandas_udf(_norm_url_kernel(), "string")
+        return df.withColumn(out_col, _NORM_URL_UDF(F.col(url_col)))
     d = df.withColumn("_u_s", F.regexp_replace(F.col(url_col), "[?#].*$", ""))
     d = d.withColumn("_u_scheme", F.regexp_extract("_u_s", _SCHEME_RE, 1))
     d = d.withColumn(

@@ -108,6 +108,15 @@ def test_staged_normalize_matches_column_form(spark):
         for r in urls.with_normalized_url(df, "url").collect()
     }
     assert staged == col_form
+    # r6: both the Arrow kernel (pure-port, default) and the staged
+    # Catalyst chain must match the single-Column form
+    chain = {
+        r["url"]: r["norm_url"]
+        for r in urls.with_normalized_url(
+            df, "url", use_arrow=False
+        ).collect()
+    }
+    assert chain == col_form
 
 
 QUERY_CASES = [
