@@ -668,23 +668,6 @@ def _q_events_salted(spark, sf):
     ).withColumn("total_value", F.col("total_value").cast("double"))
 
 
-def _recall_vs(truth, probe_df, method):
-    probe = probe_df.select("query_id", F.col("vec_id").alias("pv"))
-    hits = truth.join(
-        probe,
-        (truth.query_id == probe.query_id) & (F.col("tv") == F.col("pv")),
-    ).groupBy(truth.query_id).agg(F.count("*").alias("h"))
-    return (
-        truth.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            F.lit(method).alias("method"),
-            "query_id",
-            F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 2).alias("recall_at_10"),
-        )
-    )
-
-
 def _q_ann_recall(spark, sf):
     # recall@10 vs exact brute force, per query, for each ANN path:
     # multi-probe sign-LSH and IVF with nprobe=2. The embedding base and
