@@ -690,13 +690,13 @@ def _q_ann_recall(spark, sf):
     # one top-k window + one recall join instead of three of each, which
     # also cuts the first-execution whole-stage-codegen bill the
     # single-shot bench regime pays.
+    arms = [
+        ("lsh_multiprobe", "lsh", 1),
+        ("lsh_multiprobe2", "lsh", 2),
+        ("ivf_nprobe2", "ivf", 2),
+    ]
     panel = similarity.cosine_topk_panel(
-        e, q,
-        arms=[
-            ("lsh_multiprobe", "lsh", 1),
-            ("lsh_multiprobe2", "lsh", 2),
-            ("ivf_nprobe2", "ivf", 2),
-        ],
+        e, q, arms=arms,
         centroids=_ivf_centroids(e), k=10, h=8, bucket_col="bucket",
     )
     probe = panel.select(
@@ -711,9 +711,10 @@ def _q_ann_recall(spark, sf):
         .groupBy("method", truth.query_id)
         .agg(F.count("*").alias("h"))
     )
+    # derived from the arms list: a method missing from this grid would
+    # silently vanish from the left-joined output
     methods = spark.createDataFrame(
-        [("lsh_multiprobe",), ("lsh_multiprobe2",), ("ivf_nprobe2",)],
-        "method string",
+        [(m,) for m, _, _ in arms], "method string"
     )
     grid = truth.select("query_id").distinct().crossJoin(
         F.broadcast(methods)

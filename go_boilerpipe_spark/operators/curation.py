@@ -323,12 +323,14 @@ def doc_token_rarity(
 
     ``use_arrow=True`` (default, r6) ships DISTINCT (term, count) pairs
     per doc out of an Arrow kernel instead of exploding every occurrence:
-    the pairs are distinct by construction, so the doc-frequency agg is a
-    plain ``count(*)`` instead of a two-phase ``count_distinct``, and the
-    explode, shuffle, and join-probe volumes drop by the corpus's
+    the explode, shuffle, and join-probe volumes drop by the corpus's
     within-doc repetition factor (~2× here; more on template-heavy web
-    text). ``sum_df = Σ count·df`` and ``n_tokens = Σ count`` are the
-    same BIGINT totals, so the output is bit-identical
+    text), and the df count's partial-dedup phase hashes pairs instead of
+    raw occurrences. Local-mode wall is a wash (the agg dominates at this
+    size); the win is shuffle bytes at scale (guide §2). ``sum_df =
+    Σ count·df`` and ``n_tokens = Σ count`` are the same BIGINT totals
+    and df stays ``count_distinct`` over doc ids, so the output is
+    bit-identical even for inputs with duplicated doc_id values
     (differential-tested). ``use_arrow=False`` keeps the explode plan."""
     from .util import spread_small
 
@@ -352,7 +354,15 @@ def doc_token_rarity(
             F.col("_p.terms").alias("term"),
             F.col("_p.counts").alias("cnt"),
         )
-        dfs = pairs.groupBy("term").agg(F.count("*").alias("df"))
+        # count_distinct, not count(*): pairs are distinct per input ROW,
+        # so a corpus with duplicated doc_id values (re-keyed/unioned
+        # input) would otherwise inflate df relative to the Catalyst
+        # reference. The partial-dedup phase now runs over the already
+        # mostly-distinct pairs instead of raw occurrences, so the
+        # volume win stands.
+        dfs = pairs.groupBy("term").agg(
+            F.count_distinct(F.col(id_col)).alias("df")
+        )
         return (
             pairs.join(dfs, "term")
             .groupBy(id_col)
@@ -422,7 +432,7 @@ def _repetition_kernel():
 
     def kernel(batches):
         for texts in batches:
-            ids, n_l, top_l, dup_l = [], [], [], []
+            n_l, top_l, dup_l = [], [], []
             for t in texts:
                 if t is None:
                     # JVM: null text -> _bgs = [null] (greatest(null,1)=1

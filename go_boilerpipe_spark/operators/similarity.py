@@ -412,8 +412,14 @@ def cosine_topk_panel(
     this shape pays each ONCE (the corpus emits one tagged key row per
     key kind, so the join input grows by #kinds ≤ 2, not #arms).
     """
-    needs_lsh = any(kind == "lsh" for _, kind, _ in arms)
-    needs_ivf = any(kind == "ivf" for _, kind, _ in arms)
+    kinds = {kind for _, kind, _ in arms}
+    unknown = kinds - {"lsh", "ivf"}
+    if unknown:
+        raise ValueError(f"unknown panel arm kind(s): {sorted(unknown)}")
+    needs_lsh = "lsh" in kinds
+    needs_ivf = "ivf" in kinds
+    if needs_ivf and centroids is None:
+        raise ValueError("ivf arm needs centroids")
     if bucket_col is not None:
         check_bucket_h(emb, bucket_col, h)
         e = emb.withColumnRenamed(bucket_col, "bucket")
@@ -431,7 +437,6 @@ def cosine_topk_panel(
             F.col("bucket").cast("long").alias("_key"),
         ))
     if needs_ivf:
-        assert centroids is not None, "ivf arm needs centroids"
         cents = centroids_struct(centroids, cid_col, cvec_col)
         e = e.crossJoin(cents).select(
             "*", _sq_norm_root(F.col(vec_col)).alias("_vn")

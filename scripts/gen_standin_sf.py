@@ -81,7 +81,7 @@ def main() -> None:
     ts = base + (rng.random(n_events) * 30 * 86_400e6).astype("timedelta64[us]")
     write(out_dir, "events", pa.table({
         "event_id": pa.array(range(n_events), pa.int64()),
-        "ts": pa.array(np.sort(ts) if False else ts, pa.timestamp("us")),
+        "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
         "event_type": rng.choice(
             ["signup", "purchase", "view", "click", "error"], n_events),

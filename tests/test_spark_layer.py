@@ -1388,6 +1388,8 @@ class TestCuration:
             (8, "汉字 token mix 汉字 token mix extra"),
             (9, "\tlead trail\t"), (10, None),
             (11, "  spaced   out   tokens   here  "),
+            # duplicated doc_id: df must stay count_distinct over ids
+            (12, "dup id a b"), (12, "dup id c d"),
         ]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         jvm = sorted(map(tuple, curation.doc_token_rarity(
