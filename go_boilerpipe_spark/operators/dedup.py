@@ -1021,6 +1021,49 @@ def duplicate_clusters(
     )
 
 
+_SHINGLE_SET_UDFS: dict = {}
+
+
+def _shingle_set_kernel_factory(shingle_n: int):
+    """Arrow twin of ``_word_shingles``: the doc's DISTINCT n-word
+    shingles (same tokenization/fallback as the MinHash kernel). Element
+    ORDER differs from the Catalyst ``array_distinct`` (Python set order
+    vs first-occurrence order) — callers may only consume the arrays as
+    SETS (sizes of intersections/unions), which is exactly what the
+    Jaccard verify does. Null text → null array (the Catalyst transform
+    chain null-propagates)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches):
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = ws.split(t.strip(" "))
+                cnt = len(toks)
+                if cnt >= shingle_n:
+                    out.append(list({
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(cnt - shingle_n + 1)
+                    }))
+                else:
+                    out.append([" ".join(toks)])
+            yield pd.Series(out, dtype="object")
+
+    kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return kernel
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -1029,6 +1072,7 @@ def jaccard_verify_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     prune_candidates: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify stage after any
     LSH): broadcast-safe join of shingle sets onto the (small) pair list.
@@ -1049,9 +1093,25 @@ def jaccard_verify_pairs(
             .distinct()
         )
         df = df.join(cand_ids, id_col, "leftsemi")
-    sets_df = _stage_tokens(df, id_col, text_col).select(
-        F.col(id_col), _word_shingles(shingle_n).alias("sh_set")
-    )
+    if use_arrow:
+        # r6: the shingle-set HOF (array_distinct ∘ transform) is
+        # interpreted, ~0.3-0.5 ms/doc, and sets_df feeds BOTH join
+        # sides (computed twice). The kernel emits the identical SET
+        # (order differs; only intersection/union sizes are consumed).
+        from pyspark.sql.functions import pandas_udf
+
+        if shingle_n not in _SHINGLE_SET_UDFS:
+            _SHINGLE_SET_UDFS[shingle_n] = pandas_udf(
+                _shingle_set_kernel_factory(shingle_n), "array<string>"
+            )
+        sets_df = df.select(
+            F.col(id_col),
+            _SHINGLE_SET_UDFS[shingle_n](F.col(text_col)).alias("sh_set"),
+        )
+    else:
+        sets_df = _stage_tokens(df, id_col, text_col).select(
+            F.col(id_col), _word_shingles(shingle_n).alias("sh_set")
+        )
     j = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("sh_set", "sh_a"), "id_a")

@@ -341,6 +341,32 @@ class TestDedup:
             dd._MINHASH_CACHE_CAP = orig
         assert capped == list(dd._minhash_kernel_factory(12, 3)(s))
 
+    def test_jaccard_verify_arrow_identical(self, spark):
+        # r6: the Arrow shingle-set kernel must produce the same verify
+        # OUTPUT (jaccard rows) as the Catalyst HOF path — the arrays
+        # are consumed as sets, so element order is free but membership
+        # must be exact.
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "one two"), (4, "completely different text entirely here"),
+            (5, "  spaced   out  "), (6, "a\tb\nc d e f g h"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (0, 4), (3, 5)],
+            "id_a long, id_b long",
+        )
+        for prune in (False, True):
+            jvm = sorted(map(tuple, dedup.jaccard_verify_pairs(
+                docs, pairs, threshold=0.1, prune_candidates=prune,
+                use_arrow=False).collect()))
+            arrow = sorted(map(tuple, dedup.jaccard_verify_pairs(
+                docs, pairs, threshold=0.1, prune_candidates=prune,
+                use_arrow=True).collect()))
+            assert arrow == jvm, prune
+
     def test_winnow_arrow_bit_identical(self, spark):
         # r6: the Arrow winnowing kernel must equal the pure-Catalyst
         # plan byte-for-byte on every tokenization edge, including the
